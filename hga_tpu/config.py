@@ -1,0 +1,73 @@
+"""Central configuration for the TPU-native hybrid assembler.
+
+One dataclass carries every tunable (k, minimizer window, band width,
+thresholds, mesh shape, capacities).  Capability parity: the reference C++
+assembler exposes these as CLI flags on its `main()` (SURVEY.md C14); here the
+config is a frozen dataclass so it can be closed over by jitted functions and
+printed into metrics files for reproducibility (SURVEY.md §6 "Config / flag
+system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AssemblerConfig:
+    # --- k-mer layer (L1) ---
+    k: int = 21                    # judged config 1 uses k=21 (BASELINE.json)
+    max_count: int = 255           # histogram clamp for the k-mer spectrum
+    solid_threshold: int = 0       # 0 = auto (valley detection on the spectrum)
+
+    # --- minimizer / seeding layer (L2) ---
+    w: int = 11                    # minimizer window (w consecutive k-mers)
+    max_seed_freq: int = 16        # drop minimizers occurring more often
+    min_shared_minimizers: int = 3 # candidate pair must share >= this many seeds
+
+    # --- alignment layer (L3) ---
+    band: int = 64                 # half-width of the SW band (cells each side)
+    match: int = 2
+    mismatch: int = -4
+    gap: int = -3                  # linear gap penalty (all-integer DP)
+    min_overlap_len: int = 50
+    min_identity: float = 0.70
+    pair_tile: int = 8             # pairs per Pallas wavefront tile (sublanes)
+    max_seq_len: int = 2048        # padded per-pair sequence capacity for DP
+
+    # --- graph layer (L4) ---
+    min_overlap_score: int = 40
+    tip_max_len: int = 3           # tip clipping: max nodes in a clipped tip
+
+    # --- correction / consensus layer (L5) ---
+    polish_window: int = 256       # contig window length for pileup polishing
+    min_pileup_depth: int = 2
+
+    # --- orchestration (L6) ---
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices
+    mesh_axes: Tuple[str, ...] = ("data",)
+    batch_reads: int = 4096        # reads per device batch
+    pad_len: int = 256             # short-read pad length (multiple of 16)
+
+    # --- misc ---
+    seed: int = 0
+    dtype_score: str = "int32"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), default=str, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "AssemblerConfig":
+        d = json.loads(s)
+        if d.get("mesh_shape") is not None:
+            d["mesh_shape"] = tuple(d["mesh_shape"])
+        d["mesh_axes"] = tuple(d.get("mesh_axes", ("data",)))
+        return AssemblerConfig(**d)
+
+    def replace(self, **kw) -> "AssemblerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = AssemblerConfig()

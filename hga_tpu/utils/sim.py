@@ -1,0 +1,149 @@
+"""Synthetic genome + hybrid read-set simulator (deterministic).
+
+Capability parity with the reference's Python simulation scripts (SURVEY.md
+C16: read simulation around art_illumina / nanopore simulators).  Everything
+is seeded `np.random.default_rng`, so fixtures are reproducible and tests can
+commit expectations.
+
+Two read models:
+* Illumina-like short reads: fixed length, ~1% substitution errors, random
+  strand, uniform positions (optionally paired-end style coverage).
+* Nanopore-like long reads: lognormal lengths, configurable error rate split
+  between substitutions / insertions / deletions, random strand.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from hga_tpu.io.encode import BASES, decode_bases, revcomp_str
+
+
+def random_genome(length: int, seed: int = 0, gc: float = 0.5) -> str:
+    rng = np.random.default_rng(seed)
+    p_at = (1.0 - gc) / 2
+    p_gc = gc / 2
+    codes = rng.choice(4, size=length, p=[p_at, p_gc, p_gc, p_at])
+    return decode_bases(codes.astype(np.uint8))
+
+
+def _mutate_sub(codes: np.ndarray, pos: np.ndarray, rng) -> None:
+    codes[pos] = (codes[pos] + rng.integers(1, 4, size=pos.shape[0])) % 4
+
+
+def simulate_short_reads(
+    genome: str,
+    coverage: float = 30.0,
+    read_len: int = 100,
+    error_rate: float = 0.01,
+    seed: int = 1,
+) -> Tuple[List[str], List[str]]:
+    """Illumina-like reads. Returns (seqs, names); name encodes truth locus."""
+    rng = np.random.default_rng(seed)
+    G = len(genome)
+    n_reads = int(coverage * G / read_len)
+    from hga_tpu.io.encode import encode_bases
+
+    gcodes, _ = encode_bases(genome)
+    seqs: List[str] = []
+    names: List[str] = []
+    starts = rng.integers(0, max(1, G - read_len + 1), size=n_reads)
+    strands = rng.integers(0, 2, size=n_reads)
+    for i in range(n_reads):
+        s = int(starts[i])
+        codes = gcodes[s : s + read_len].copy()
+        nerr = rng.binomial(read_len, error_rate)
+        if nerr:
+            pos = rng.choice(read_len, size=nerr, replace=False)
+            _mutate_sub(codes, pos, rng)
+        seq = decode_bases(codes)
+        if strands[i]:
+            seq = revcomp_str(seq)
+        seqs.append(seq)
+        names.append(f"sr_{i}_{s}_{int(strands[i])}")
+    return seqs, names
+
+
+def simulate_long_reads(
+    genome: str,
+    coverage: float = 20.0,
+    mean_len: int = 8000,
+    min_len: int = 1000,
+    error_rate: float = 0.10,
+    sub_frac: float = 0.4,
+    ins_frac: float = 0.3,
+    del_frac: float = 0.3,
+    seed: int = 2,
+    circular: bool = False,
+) -> Tuple[List[str], List[str]]:
+    """Nanopore-like long reads with sub/ins/del errors."""
+    rng = np.random.default_rng(seed)
+    from hga_tpu.io.encode import encode_bases
+
+    gcodes, _ = encode_bases(genome)
+    G = len(genome)
+    total = int(coverage * G)
+    seqs: List[str] = []
+    names: List[str] = []
+    emitted = 0
+    i = 0
+    while emitted < total:
+        L = int(np.clip(rng.lognormal(np.log(mean_len), 0.4), min_len, G))
+        s = int(rng.integers(0, max(1, G - L + 1)))
+        codes = gcodes[s : s + L].copy()
+        # error process: walk the read, inject errors position-wise
+        out: List[int] = []
+        p = 0
+        while p < L:
+            r = rng.random()
+            if r < error_rate * sub_frac:
+                out.append(int((codes[p] + rng.integers(1, 4)) % 4))
+                p += 1
+            elif r < error_rate * (sub_frac + ins_frac):
+                out.append(int(rng.integers(0, 4)))  # insertion, don't consume
+            elif r < error_rate * (sub_frac + ins_frac + del_frac):
+                p += 1  # deletion
+            else:
+                out.append(int(codes[p]))
+                p += 1
+        seq = decode_bases(np.array(out, dtype=np.uint8))
+        strand = int(rng.integers(0, 2))
+        if strand:
+            seq = revcomp_str(seq)
+        seqs.append(seq)
+        names.append(f"lr_{i}_{s}_{strand}_{L}")
+        emitted += len(seq)
+        i += 1
+    return seqs, names
+
+
+@dataclasses.dataclass
+class SimDataset:
+    genome: str
+    short_seqs: List[str]
+    short_names: List[str]
+    long_seqs: List[str]
+    long_names: List[str]
+
+
+def make_dataset(
+    genome_len: int = 50_000,
+    short_cov: float = 30.0,
+    long_cov: float = 20.0,
+    seed: int = 0,
+    short_err: float = 0.01,
+    long_err: float = 0.10,
+) -> SimDataset:
+    genome = random_genome(genome_len, seed=seed)
+    ss, sn = simulate_short_reads(genome, coverage=short_cov, error_rate=short_err, seed=seed + 1)
+    ls, ln = simulate_long_reads(
+        genome,
+        coverage=long_cov,
+        mean_len=min(8000, max(2000, genome_len // 8)),
+        error_rate=long_err,
+        seed=seed + 2,
+    )
+    return SimDataset(genome, ss, sn, ls, ln)
