@@ -1,0 +1,152 @@
+"""Stage 2 (judged config 2) — minimizer seeding + candidate overlap pairs.
+
+Pipeline: packed reads -> device minimizer selection (ops.minimizer) ->
+flat (minimizer, read, pos, strand) entry tensor -> device sorted-join pair
+generation (ops.pairs).
+
+The reference builds a hash-map seed index and cross-products its buckets
+(SURVEY.md §4.2); here the index is a sorted tensor and the bucket
+cross-product is a bounded sorted self-join, both on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io.encode import PackedReads
+from hga_tpu.ops import kmer as K
+from hga_tpu.ops import minimizer as M
+from hga_tpu.ops import pairs as P
+from hga_tpu.ops.count import SENTINEL
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SeedEntries:
+    """Flat host-side minimizer entries for a read set."""
+
+    hi: np.ndarray
+    lo: np.ndarray
+    read: np.ndarray
+    pos: np.ndarray
+    strand: np.ndarray
+
+
+@dataclasses.dataclass
+class SeedingResult:
+    a: np.ndarray
+    b: np.ndarray
+    rel: np.ndarray
+    diag: np.ndarray
+    shared: np.ndarray
+    overflow: int
+
+    @property
+    def n_pairs(self) -> int:
+        return int(self.a.shape[0])
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, a=self.a, b=self.b, rel=self.rel,
+                            diag=self.diag, shared=self.shared,
+                            overflow=np.int64(self.overflow))
+
+    @staticmethod
+    def load(path: str) -> "SeedingResult":
+        z = np.load(path)
+        return SeedingResult(a=z["a"], b=z["b"], rel=z["rel"], diag=z["diag"],
+                             shared=z["shared"], overflow=int(z["overflow"]))
+
+
+def _minimizer_batch_fn(k: int, w: int):
+    @jax.jit
+    def f(packed, bad, length):
+        kb = K.extract_kmers(packed, bad, length, k)
+        return M.select_minimizers(kb, w, length, k)
+
+    return f
+
+
+def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
+                         idx: Optional[np.ndarray] = None) -> SeedEntries:
+    """Device minimizer selection, batch-wise; compact entries on host."""
+    if idx is None:
+        idx = np.arange(pr.n_reads)
+    B = cfg.batch_reads
+    f = _minimizer_batch_fn(cfg.k, cfg.w)
+    his, los, reads, poss, strands = [], [], [], [], []
+    for s in range(0, len(idx), B):
+        sel = idx[s : s + B]
+        packed, bad, length = pr.packed[sel], pr.bad[sel], pr.length[sel]
+        nb = packed.shape[0]
+        if nb < B:
+            packed = np.pad(packed, ((0, B - nb), (0, 0)))
+            bad = np.pad(bad, ((0, B - nb), (0, 0)))
+            length = np.pad(length, (0, B - nb))
+        mb = f(jnp.asarray(packed), jnp.asarray(bad), jnp.asarray(length))
+        take = np.asarray(mb.take)[:nb]
+        rows, cols = np.nonzero(take)
+        his.append(np.asarray(mb.hi)[:nb][rows, cols])
+        los.append(np.asarray(mb.lo)[:nb][rows, cols])
+        poss.append(np.asarray(mb.pos)[:nb][rows, cols])
+        strands.append(np.asarray(mb.strand)[:nb][rows, cols].astype(np.int32))
+        reads.append(sel[rows].astype(np.int32))
+    cat = lambda xs, dt: (np.concatenate(xs).astype(dt) if xs else np.zeros(0, dt))
+    return SeedEntries(
+        hi=cat(his, np.uint32), lo=cat(los, np.uint32),
+        read=cat(reads, np.int32), pos=cat(poss, np.int32),
+        strand=cat(strands, np.int32),
+    )
+
+
+def find_candidates(
+    pr: PackedReads,
+    cfg: AssemblerConfig,
+    mode: str = "all",
+    idx: Optional[np.ndarray] = None,
+    pair_cap: Optional[int] = None,
+) -> SeedingResult:
+    """Config-2 stage: minimizers -> frequency-filtered candidate pairs."""
+    ent = extract_seed_entries(pr, cfg, idx)
+    N = max(16, int(ent.hi.shape[0]))
+    if pair_cap is None:
+        pair_cap = max(64, 8 * pr.n_reads)
+    # pad entry arrays to a padded static size (multiple of 1024)
+    Np = ((N + 1023) // 1024) * 1024
+    pad = Np - ent.hi.shape[0]
+    hi = np.pad(ent.hi, (0, pad), constant_values=0xFFFFFFFF)
+    lo = np.pad(ent.lo, (0, pad), constant_values=0xFFFFFFFF)
+    read = np.pad(ent.read, (0, pad))
+    pos = np.pad(ent.pos, (0, pad))
+    strand = np.pad(ent.strand, (0, pad))
+
+    while True:  # grow capacity until the aggregated pair list fits
+        cp = P.candidate_pairs(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(read),
+            jnp.asarray(pos), jnp.asarray(strand),
+            jnp.asarray(pr.length.astype(np.int32)),
+            jnp.asarray(pr.category.astype(np.int32)),
+            k=cfg.k, max_freq=cfg.max_seed_freq,
+            min_shared=cfg.min_shared_minimizers,
+            pair_cap=pair_cap, mode=mode,
+        )
+        if int(cp.overflow) == 0:
+            break
+        pair_cap *= 4
+        log.info("seeding: pair capacity overflow, growing to %d", pair_cap)
+    n = int(cp.n)
+    res = SeedingResult(
+        a=np.asarray(cp.a)[:n], b=np.asarray(cp.b)[:n],
+        rel=np.asarray(cp.rel)[:n], diag=np.asarray(cp.diag)[:n],
+        shared=np.asarray(cp.shared)[:n], overflow=int(cp.overflow),
+    )
+    log.info("seeding: %d entries -> %d candidate pairs (overflow %d)",
+             N, n, res.overflow)
+    return res

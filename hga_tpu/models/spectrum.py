@@ -1,0 +1,133 @@
+"""Stage 1 (judged config 1) — k-mer counting + spectrum histogram.
+
+Pipeline: packed read batches -> device k-mer extraction (ops.kmer) ->
+device sort/segment-sum counting (ops.count) -> cross-batch merge ->
+histogram -> valley threshold -> solid k-mer set.
+
+The reference implements this as a streaming C++ hash-table pass with a
+Python histogram plot (SURVEY.md C4/C5, call stack §4.1).  Here each batch is
+counted on device with static shapes, batch results are compacted and merged
+with one final device sort, and the threshold valley is picked on host from
+the (tiny) histogram.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io.encode import PackedReads
+from hga_tpu.ops import count as C
+from hga_tpu.ops import kmer as K
+from hga_tpu.utils.oracle import solid_threshold_from_hist
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SpectrumResult:
+    """Host-side result of the counting stage."""
+
+    hi: np.ndarray        # uint32[n] distinct canonical k-mers (sorted)
+    lo: np.ndarray        # uint32[n]
+    count: np.ndarray     # int32[n]
+    hist: np.ndarray      # int64[max_count+1]
+    threshold: int        # chosen solid threshold
+    k: int
+
+    @property
+    def n_distinct(self) -> int:
+        return int(self.hi.shape[0])
+
+    def solid_set(self) -> Tuple[np.ndarray, np.ndarray]:
+        m = self.count >= self.threshold
+        return self.hi[m], self.lo[m]
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, hi=self.hi, lo=self.lo, count=self.count,
+                            hist=self.hist, threshold=np.int64(self.threshold),
+                            k=np.int64(self.k))
+
+    @staticmethod
+    def load(path: str) -> "SpectrumResult":
+        z = np.load(path)
+        return SpectrumResult(hi=z["hi"], lo=z["lo"], count=z["count"],
+                              hist=z["hist"], threshold=int(z["threshold"]),
+                              k=int(z["k"]))
+
+
+def _count_batch_fn(k: int):
+    @jax.jit
+    def f(packed, bad, length):
+        kb = K.extract_kmers(packed, bad, length, k)
+        return C.count_kmer_batch(kb)
+
+    return f
+
+
+def count_reads(
+    pr: PackedReads,
+    cfg: AssemblerConfig,
+    category: Optional[int] = None,
+) -> SpectrumResult:
+    """Count canonical k-mers of (a category of) a read set; pick threshold.
+
+    Batches are fixed-shape so the per-batch jit compiles once; batch results
+    are compacted on host and merged with a single final device sort
+    (SURVEY.md §4.1 build path).
+    """
+    idx = np.arange(pr.n_reads)
+    if category is not None:
+        idx = idx[pr.category == category]
+    B = cfg.batch_reads
+    f = _count_batch_fn(cfg.k)
+
+    parts_hi: List[np.ndarray] = []
+    parts_lo: List[np.ndarray] = []
+    parts_cnt: List[np.ndarray] = []
+    for s in range(0, len(idx), B):
+        sel = idx[s : s + B]
+        packed = pr.packed[sel]
+        bad = pr.bad[sel]
+        length = pr.length[sel]
+        if packed.shape[0] < B:  # pad the tail batch to the static shape
+            pad = B - packed.shape[0]
+            packed = np.pad(packed, ((0, pad), (0, 0)))
+            bad = np.pad(bad, ((0, pad), (0, 0)))
+            length = np.pad(length, (0, pad))
+        ck = f(jnp.asarray(packed), jnp.asarray(bad), jnp.asarray(length))
+        n = int(ck.n)
+        parts_hi.append(np.asarray(ck.hi[:n]))
+        parts_lo.append(np.asarray(ck.lo[:n]))
+        parts_cnt.append(np.asarray(ck.count[:n]))
+
+    if parts_hi:
+        hi = np.concatenate(parts_hi)
+        lo = np.concatenate(parts_lo)
+        cnt = np.concatenate(parts_cnt)
+    else:
+        hi = np.zeros(0, np.uint32)
+        lo = np.zeros(0, np.uint32)
+        cnt = np.zeros(0, np.int32)
+
+    if hi.size:
+        merged = C.sort_and_count(jnp.asarray(hi), jnp.asarray(lo),
+                                  jnp.asarray(cnt))
+        hist = np.asarray(C.spectrum_histogram(merged, cfg.max_count))
+        n = int(merged.n)
+        hi = np.asarray(merged.hi[:n])
+        lo = np.asarray(merged.lo[:n])
+        cnt = np.asarray(merged.count[:n])
+    else:
+        hist = np.zeros(cfg.max_count + 1, np.int64)
+
+    thr = cfg.solid_threshold or solid_threshold_from_hist(hist)
+    log.info("spectrum: %d distinct %d-mers, threshold=%d", hi.size, cfg.k, thr)
+    return SpectrumResult(hi=hi, lo=lo, count=cnt, hist=hist,
+                          threshold=int(thr), k=cfg.k)

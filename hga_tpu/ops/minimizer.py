@@ -41,8 +41,10 @@ class MinimizerBatch(NamedTuple):
     take: jax.Array    # bool
 
 
-@functools.partial(jax.jit, static_argnames=("w",))
-def select_minimizers(kb: KmerBatch, w: int) -> MinimizerBatch:
+@functools.partial(jax.jit, static_argnames=("w", "k"))
+def select_minimizers(kb: KmerBatch, w: int, length: jax.Array, k: int) -> MinimizerBatch:
+    """length: int32 (R,) true read lengths — windows extending past the read
+    end are suppressed entirely (oracle iterates j in [0, len-k+1-w])."""
     R, m = kb.hi.shape
     n_win = m - w + 1
     if n_win <= 0:
@@ -68,7 +70,9 @@ def select_minimizers(kb: KmerBatch, w: int) -> MinimizerBatch:
     # dedupe consecutive windows that chose the same position
     first = jnp.ones((R, 1), bool)
     new_sel = jnp.concatenate([first, pos[:, 1:] != pos[:, :-1]], axis=1)
-    take = new_sel & ~best_inv
+    win = jnp.arange(n_win, dtype=I32)[None, :]
+    window_real = win <= (length[:, None] - (k + w - 1))
+    take = new_sel & ~best_inv & window_real
 
     hi = jnp.take_along_axis(kb.hi, pos, axis=1)
     lo = jnp.take_along_axis(kb.lo, pos, axis=1)

@@ -146,6 +146,46 @@ def minimizers(codes, bad, length: int, k: int, w: int):
     return out
 
 
+def candidate_pairs_oracle(
+    minimizer_entries, read_len, category, k: int,
+    max_freq: int, min_shared: int, mode: str = "all",
+):
+    """Reference for ops.pairs.candidate_pairs.
+
+    minimizer_entries: list over reads of [(pos, canon_kmer, strand), ...]
+    Returns sorted list of (a, b, rel, median_diag, shared).
+    """
+    from collections import defaultdict
+
+    index = defaultdict(list)
+    for r, ents in enumerate(minimizer_entries):
+        for (p, v, s) in ents:
+            index[v].append((r, p, s))
+    agg: Dict[Tuple[int, int, int], List[int]] = defaultdict(list)
+    for v, occ in index.items():
+        if len(occ) > max_freq:
+            continue
+        for i in range(len(occ)):
+            for j in range(i + 1, len(occ)):
+                (r1, p1, s1), (r2, p2, s2) = occ[i], occ[j]
+                if r1 == r2:
+                    continue
+                if mode == "cross" and category[r1] == category[r2]:
+                    continue
+                if r1 < r2:
+                    a, b, pa, pb, sa, sb = r1, r2, p1, p2, s1, s2
+                else:
+                    a, b, pa, pb, sa, sb = r2, r1, p2, p1, s2, s1
+                rel = int(sa != sb)
+                pb_adj = pb if rel == 0 else int(read_len[b]) - k - pb
+                agg[(a, b, rel)].append(pa - pb_adj)
+    out = []
+    for (a, b, rel), diags in sorted(agg.items()):
+        if len(diags) >= min_shared:
+            out.append((a, b, rel, sorted(diags)[len(diags) // 2], len(diags)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # alignment layer (L3) — banded Smith-Waterman, linear gap, all-integer
 # ---------------------------------------------------------------------------
@@ -167,8 +207,8 @@ def banded_sw(
     Returns dict with: score, qend, tend (exclusive, i.e. 1-based last cell),
     qstart, tstart (0-based inclusive), matches, aln_len (number of alignment
     columns), identity.  Traceback prefers diag > up (gap in t) > left.
-    Best cell: maximum H, ties -> smallest i, then smallest j (row-major scan
-    order).
+    Best cell: maximum H, ties -> smallest anti-diagonal i+j, then smallest i
+    (the wavefront sweep order of the device kernel).
     """
     q = np.asarray(q)
     t = np.asarray(t)
@@ -196,8 +236,9 @@ def banded_sw(
     if score <= 0:
         return dict(score=0, qend=0, tend=0, qstart=0, tstart=0,
                     matches=0, aln_len=0, identity=0.0)
-    flat = int(np.argmax(Hm))  # row-major argmax = smallest i then j on ties
-    ei, ej = divmod(flat, nt + 1)
+    cand_i, cand_j = np.nonzero(Hm == score)
+    order = np.lexsort((cand_i, cand_i + cand_j))  # min (i+j), then min i
+    ei, ej = int(cand_i[order[0]]), int(cand_j[order[0]])
     # traceback
     i, j = ei, ej
     matches = 0
