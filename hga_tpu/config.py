@@ -24,7 +24,10 @@ class AssemblerConfig:
 
     # --- minimizer / seeding layer (L2) ---
     w: int = 11                    # minimizer window (w consecutive k-mers)
-    max_seed_freq: int = 16        # drop minimizers occurring more often
+    # Repeat mask: drop minimizers occurring more often than this.  Must sit
+    # WELL above read coverage (every genomic minimizer occurs ~coverage
+    # times); the pipeline driver re-derives it as ~4x estimated coverage.
+    max_seed_freq: int = 64
     min_shared_minimizers: int = 3 # candidate pair must share >= this many seeds
 
     # --- alignment layer (L3) ---
@@ -40,6 +43,10 @@ class AssemblerConfig:
     # --- graph layer (L4) ---
     min_overlap_score: int = 40
     tip_max_len: int = 3           # tip clipping: max nodes in a clipped tip
+    end_tol: int = 3               # bp tolerance when classifying dovetails
+    fuzz: int = 10                 # transitive-reduction length slack
+    max_out_degree: int = 16       # neighbors inspected per edge in reduction
+    min_contig_len: int = 0        # drop shorter contigs (0 = keep all)
 
     # --- correction / consensus layer (L5) ---
     polish_window: int = 256       # contig window length for pileup polishing

@@ -1,0 +1,311 @@
+"""Stage 4 (judged config 4) — overlap graph, transitive reduction, unitigs.
+
+Pipeline: overlap records (stage 3) -> containment removal -> doubled-node
+string-graph edges -> device CSR + transitive reduction (ops.graph) -> host
+unitig walk + contig stitching -> FASTA/GFA.
+
+Graph representation: every read r contributes two oriented nodes 2r (forward)
+and 2r+1 (reverse-complement); a dovetail overlap yields one directed edge
+and its complement (the string-graph symmetry), so a unitig and its
+reverse-complement are two walks of the same structure and are deduplicated
+canonically.  The reference keeps a pointer graph with heap node/edge objects
+and walks it sequentially (SURVEY.md C10/C11); here edge *construction and
+reduction* run on device over flat tensors, and only the final linear walk —
+O(#reads), trivially cheap — stays on host for deterministic output
+(SURVEY.md §4.3 build note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io.encode import PackedReads, decode_bases, unpack_codes
+from hga_tpu.models.overlap import OverlapRecords
+from hga_tpu.ops import graph as G
+from hga_tpu.utils.oracle import unitigs_from_edges
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class StringGraph:
+    """Doubled-node directed string graph (host-side arrays)."""
+
+    n_reads: int
+    u: np.ndarray        # int32 — source oriented node (2*read + orient)
+    v: np.ndarray        # int32 — target oriented node
+    ext: np.ndarray      # int32 — bases the target adds beyond the overlap
+    score: np.ndarray    # int32 — overlap score
+    contained: np.ndarray  # bool (n_reads,)
+
+    @property
+    def n_nodes(self) -> int:
+        return 2 * self.n_reads
+
+
+def build_string_graph(ov: OverlapRecords, n_reads: int,
+                       cfg: AssemblerConfig) -> StringGraph:
+    """Classify overlaps into containments/dovetails; emit doubled edges."""
+    tol = cfg.end_tol
+    a, b, rel = ov.a, ov.b, ov.rel
+    la, lb = ov.a_len, ov.b_len
+    as_, ae = ov.a_start, ov.a_end
+    # b coordinates in b's ORIENTED frame (the frame the DP aligned in)
+    bs_o = np.where(rel == 1, lb - ov.b_end, ov.b_start)
+    be_o = np.where(rel == 1, lb - ov.b_start, ov.b_end)
+
+    contained_a = (as_ <= tol) & (ae >= la - tol)
+    contained_b = (bs_o <= tol) & (be_o >= lb - tol)
+    contained = np.zeros(n_reads, bool)
+    # a read equal to another (mutual containment) keeps the smaller id
+    eq = contained_a & contained_b
+    contained[a[contained_a & ~eq]] = True
+    contained[b[contained_b & ~eq]] = True
+    contained[np.where(eq, np.maximum(a, b), 0)[eq]] = True
+
+    ok = ~contained[a] & ~contained[b] & ~contained_a & ~contained_b
+    dove_ab = ok & (ae >= la - tol) & (bs_o <= tol)
+    dove_ba = ok & (be_o >= lb - tol) & (as_ <= tol) & ~dove_ab
+
+    us, vs, exts, scs = [], [], [], []
+    # suffix(a) ~ prefix(b^rel):  a+ -> b^rel   and   b^(1-rel) -> a-
+    i = np.nonzero(dove_ab)[0]
+    us.append(2 * a[i])
+    vs.append(2 * b[i] + rel[i])
+    exts.append(lb[i] - be_o[i])
+    scs.append(ov.score[i])
+    us.append(2 * b[i] + (1 - rel[i]))
+    vs.append(2 * a[i] + 1)
+    exts.append(as_[i])
+    scs.append(ov.score[i])
+    # suffix(b^rel) ~ prefix(a):  b^rel -> a+   and   a- -> b^(1-rel)
+    i = np.nonzero(dove_ba)[0]
+    us.append(2 * b[i] + rel[i])
+    vs.append(2 * a[i])
+    exts.append(la[i] - ae[i])
+    scs.append(ov.score[i])
+    us.append(2 * a[i] + 1)
+    vs.append(2 * b[i] + (1 - rel[i]))
+    exts.append(bs_o[i])
+    scs.append(ov.score[i])
+
+    u = np.concatenate(us).astype(np.int32) if us else np.zeros(0, np.int32)
+    v = np.concatenate(vs).astype(np.int32) if vs else np.zeros(0, np.int32)
+    ext = np.concatenate(exts).astype(np.int32) if exts else np.zeros(0, np.int32)
+    sc = np.concatenate(scs).astype(np.int32) if scs else np.zeros(0, np.int32)
+
+    # drop zero-extension edges (would stitch nothing) and dedupe (u, v)
+    # keeping the smallest extension (tightest overlap)
+    keep = ext > 0
+    u, v, ext, sc = u[keep], v[keep], ext[keep], sc[keep]
+    order = np.lexsort((ext, v, u))
+    u, v, ext, sc = u[order], v[order], ext[order], sc[order]
+    first = np.ones(len(u), bool)
+    first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    g = StringGraph(n_reads=n_reads, u=u[first], v=v[first], ext=ext[first],
+                    score=sc[first], contained=contained)
+    log.info("graph: %d edges (%d contained reads)", g.u.size,
+             int(contained.sum()))
+    return g
+
+
+def reduce_graph(g: StringGraph, cfg: AssemblerConfig) -> np.ndarray:
+    """Device transitive reduction; returns keep mask over g's edges."""
+    E = max(8, g.u.shape[0])
+    pad = E - g.u.shape[0]
+    u = np.pad(g.u, (0, pad))
+    v = np.pad(g.v, (0, pad))
+    ext = np.pad(g.ext, (0, pad))
+    sc = np.pad(g.score, (0, pad))
+    valid = np.pad(np.ones(g.u.shape[0], bool), (0, pad))
+    csr = G.build_csr(jnp.asarray(u), jnp.asarray(v), jnp.asarray(ext),
+                      jnp.asarray(sc), jnp.asarray(valid), g.n_nodes)
+    keep = G.transitive_reduction(csr, g.n_nodes,
+                                  max_out=cfg.max_out_degree, fuzz=cfg.fuzz)
+    # map the (sorted) CSR keep mask back to g's edge order
+    ku = np.asarray(csr.u)
+    kv = np.asarray(csr.v)
+    kkeep = np.asarray(keep)
+    kept_set = {(int(x), int(y)) for x, y, m in zip(ku, kv, kkeep) if m}
+    return np.array([(int(x), int(y)) in kept_set for x, y in zip(g.u, g.v)])
+
+
+def _complement_edge(u: int, v: int) -> Tuple[int, int]:
+    """String-graph symmetry: edge u->v pairs with comp(v)->comp(u)."""
+    return (v ^ 1, u ^ 1)
+
+
+def clean_graph(
+    n_nodes: int,
+    edges: List[Tuple[int, int]],
+    score_of: Dict[Tuple[int, int], int],
+    tip_max_len: int = 3,
+    bubble_depth: int = 10,
+) -> List[Tuple[int, int]]:
+    """Host-side tip clipping + simple bubble popping (SURVEY.md L4).
+
+    Tips: dead-end chains of <= tip_max_len nodes hanging off the graph are
+    removed (read errors create spurious branch stubs that would otherwise
+    break every unitig they touch).  Bubbles: two unambiguous paths from the
+    same fork that reconverge within bubble_depth nodes — the lower-scoring
+    path is dropped.  Edges are removed together with their complement so
+    the doubled graph stays symmetric.  Runs to fixpoint (tips expose new
+    tips); the graph is O(#reads), so host cost is negligible.
+    """
+    from collections import defaultdict
+
+    alive = set(edges)
+
+    def drop(e):
+        alive.discard(e)
+        alive.discard(_complement_edge(*e))
+
+    changed = True
+    while changed:
+        changed = False
+        out = defaultdict(list)
+        ind = defaultdict(list)
+        for u, v in alive:
+            out[u].append(v)
+            ind[v].append(u)
+        # --- tips: walk back from dead ends ---
+        for start in list(out.keys()) + list(ind.keys()):
+            if out.get(start):
+                continue
+            # start is a dead end; walk backwards while unambiguous
+            path = [start]
+            cur = start
+            while (len(path) <= tip_max_len and len(ind.get(cur, [])) == 1):
+                prev = ind[cur][0]
+                if len(out.get(prev, [])) > 1:
+                    # prev is a fork: this chain is a clippable tip
+                    for i in range(len(path) - 1):
+                        drop((path[i + 1], path[i]))
+                    drop((prev, path[-1]))
+                    changed = True
+                    break
+                path.append(prev)
+                cur = prev
+        if changed:
+            continue
+        # --- bubbles: forks whose branches reconverge ---
+        for u in list(out.keys()):
+            branches = out.get(u, [])
+            if len(branches) < 2:
+                continue
+            walks = []
+            for b in branches:
+                path = [(u, b)]
+                cur = b
+                while (len(path) < bubble_depth
+                       and len(out.get(cur, [])) == 1
+                       and len(ind.get(cur, [])) == 1):
+                    nxt = out[cur][0]
+                    path.append((cur, nxt))
+                    cur = nxt
+                walks.append((cur, path))
+            ends = defaultdict(list)
+            for end, path in walks:
+                ends[end].append(path)
+            for end, paths in ends.items():
+                if len(paths) < 2:
+                    continue
+                paths.sort(key=lambda p: (sum(score_of.get(e, 0) for e in p),
+                                          -len(p)), reverse=True)
+                for p in paths[1:]:
+                    for e in p:
+                        drop(e)
+                changed = True
+    return sorted(alive)
+
+
+@dataclasses.dataclass
+class AssemblyResult:
+    contigs: List[Tuple[str, str]]       # (name, sequence)
+    paths: List[List[int]]               # oriented-node paths per contig
+    n_edges_raw: int
+    n_edges_reduced: int
+    n_contained: int
+
+    def save_fasta(self, path: str) -> None:
+        from hga_tpu.io.fastq import write_fasta
+
+        write_fasta(path, self.contigs)
+
+    def to_gfa(self, read_names: List[str], read_lens: np.ndarray) -> str:
+        lines = ["H\tVN:Z:1.0"]
+        for i, n in enumerate(read_names):
+            lines.append(f"S\t{n}\t*\tLN:i:{int(read_lens[i])}")
+        for p_i, path in enumerate(self.paths):
+            segs = ",".join(
+                f"{read_names[n // 2]}{'+-'[n % 2]}" for n in path)
+            lines.append(f"P\tcontig_{p_i}\t{segs}\t*")
+        return "\n".join(lines) + "\n"
+
+
+def _oriented_seq(codes: np.ndarray, length: int, orient: int) -> np.ndarray:
+    s = codes[:length]
+    return (3 - s[::-1]) if orient else s
+
+
+def assemble(pr: PackedReads, ov: OverlapRecords,
+             cfg: AssemblerConfig) -> AssemblyResult:
+    """Config-4 stage: overlaps -> reduced string graph -> stitched contigs."""
+    g = build_string_graph(ov, pr.n_reads, cfg)
+    keep = reduce_graph(g, cfg) if g.u.size else np.zeros(0, bool)
+    edges = [(int(u), int(v)) for u, v, k in zip(g.u, g.v, keep) if k]
+    ext_of: Dict[Tuple[int, int], int] = {
+        (int(u), int(v)): int(e)
+        for u, v, e, k in zip(g.u, g.v, g.ext, keep) if k
+    }
+    score_of = {(int(u), int(v)): int(s)
+                for u, v, s, k in zip(g.u, g.v, g.score, keep) if k}
+    edges = clean_graph(g.n_nodes, edges, score_of,
+                        tip_max_len=cfg.tip_max_len)
+    paths = unitigs_from_edges(g.n_nodes, edges)
+
+    codes = unpack_codes(pr.packed)
+    contigs: List[Tuple[str, str]] = []
+    kept_paths: List[List[int]] = []
+    emitted = set()
+    for path in sorted(paths, key=lambda p: p[0]):
+        read0 = path[0] // 2
+        if g.contained[read0] and len(path) == 1:
+            continue
+        comp = tuple(n ^ 1 for n in reversed(path))
+        if tuple(path) > comp and comp in emitted:
+            continue
+        seq_parts = [
+            _oriented_seq(codes[read0], int(pr.length[read0]), path[0] % 2)]
+        ok = True
+        for u, v in zip(path[:-1], path[1:]):
+            ext = ext_of.get((u, v))
+            if ext is None:
+                ok = False
+                break
+            r = v // 2
+            s = _oriented_seq(codes[r], int(pr.length[r]), v % 2)
+            seq_parts.append(s[len(s) - ext:])
+        if not ok:
+            continue
+        seq = decode_bases(np.concatenate(seq_parts))
+        if len(seq) < cfg.min_contig_len:
+            continue
+        emitted.add(tuple(path))
+        contigs.append((f"contig_{len(contigs)}", seq))
+        kept_paths.append(list(path))
+
+    log.info("assembly: %d contigs (N=%s)", len(contigs),
+             sorted((len(s) for _, s in contigs), reverse=True)[:5])
+    return AssemblyResult(
+        contigs=contigs, paths=kept_paths,
+        n_edges_raw=int(g.u.size),
+        n_edges_reduced=int(np.sum(keep)) if g.u.size else 0,
+        n_contained=int(g.contained.sum()),
+    )

@@ -1,0 +1,103 @@
+"""Config 3+4 end-to-end: overlaps -> string graph -> contigs (the minimum
+end-to-end slice of SURVEY.md §8.2)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io import encode as E
+from hga_tpu.models.assembly import assemble, build_string_graph
+from hga_tpu.models.overlap import compute_overlaps
+from hga_tpu.models.seeding import find_candidates
+from hga_tpu.utils import sim
+
+CFG = AssemblerConfig(k=15, w=5, band=32, max_seed_freq=16,
+                      min_shared_minimizers=2, batch_reads=64,
+                      min_overlap_len=30, min_overlap_score=40)
+
+
+def _assemble_tiled(genome, step=40, rlen=120, flip_some=False):
+    starts = list(range(0, len(genome) - rlen + 1, step))
+    if starts[-1] != len(genome) - rlen:
+        starts.append(len(genome) - rlen)
+    seqs = [genome[s : s + rlen] for s in starts]
+    if flip_some:
+        seqs = [E.revcomp_str(s) if i % 3 == 1 else s
+                for i, s in enumerate(seqs)]
+    pr = E.pack_reads(seqs, pad_len=128)
+    cands = find_candidates(pr, CFG)
+    ov = compute_overlaps(pr, cands, CFG, batch_pairs=512)
+    return pr, ov, assemble(pr, ov, CFG)
+
+
+def test_overlap_coords_on_tiled_reads():
+    genome = sim.random_genome(1200, seed=31)
+    pr, ov, _res = _assemble_tiled(genome)
+    # adjacent tiles overlap by 80bp: find record for (i, i+1)
+    recs = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(ov.a, ov.b))}
+    found = 0
+    for i in range(len(pr.names) - 2):
+        if (i, i + 1) not in recs:
+            continue
+        r = recs[(i, i + 1)]
+        found += 1
+        assert ov.rel[r] == 0
+        # expected: a[40:120] == b[0:80]
+        assert abs(int(ov.a_start[r]) - 40) <= 2
+        assert int(ov.a_end[r]) >= 118
+        assert int(ov.b_start[r]) <= 2
+        assert abs(int(ov.b_end[r]) - 80) <= 2
+    assert found >= len(pr.names) - 4
+
+
+def test_assembles_single_contig_forward_only():
+    genome = sim.random_genome(1500, seed=32)
+    _pr, _ov, res = _assemble_tiled(genome)
+    seqs = sorted((s for _, s in res.contigs), key=len, reverse=True)
+    assert seqs, "no contigs"
+    assert seqs[0] == genome or seqs[0] == E.revcomp_str(genome)
+
+
+def test_assembles_single_contig_mixed_strands():
+    genome = sim.random_genome(1500, seed=33)
+    _pr, _ov, res = _assemble_tiled(genome, flip_some=True)
+    seqs = sorted((s for _, s in res.contigs), key=len, reverse=True)
+    assert seqs, "no contigs"
+    assert seqs[0] == genome or seqs[0] == E.revcomp_str(genome)
+
+
+def test_contained_reads_removed():
+    genome = sim.random_genome(900, seed=34)
+    rlen = 120
+    starts = list(range(0, len(genome) - rlen + 1, 40))
+    if starts[-1] != len(genome) - rlen:
+        starts.append(len(genome) - rlen)
+    seqs = [genome[s : s + rlen] for s in starts]
+    # add reads fully contained in read 0
+    seqs.append(genome[10 : 90])
+    seqs.append(E.revcomp_str(genome[20 : 100]))
+    pr = E.pack_reads(seqs, pad_len=128)
+    cands = find_candidates(pr, CFG)
+    ov = compute_overlaps(pr, cands, CFG, batch_pairs=512)
+    g = build_string_graph(ov, pr.n_reads, CFG)
+    assert g.contained[len(seqs) - 2]
+    assert g.contained[len(seqs) - 1]
+    res = assemble(pr, ov, CFG)
+    seqs_out = sorted((s for _, s in res.contigs), key=len, reverse=True)
+    assert seqs_out[0] in (genome, E.revcomp_str(genome))
+
+
+def test_assembly_with_read_errors():
+    genome = sim.random_genome(2000, seed=35)
+    seqs, _names = sim.simulate_short_reads(genome, coverage=12, read_len=120,
+                                            error_rate=0.005, seed=36)
+    pr = E.pack_reads(seqs, pad_len=128)
+    cands = find_candidates(pr, CFG)
+    ov = compute_overlaps(pr, cands, CFG, batch_pairs=1024)
+    res = assemble(pr, ov, CFG)
+    assert res.contigs
+    longest = max(len(s) for _, s in res.contigs)
+    # errorful assembly won't be perfect, but must recover a long contig
+    assert longest >= 1000
