@@ -1,0 +1,251 @@
+"""L7 — the `hga` command line: one subcommand per judged config.
+
+Reference parity: the reference's C++ `main()` + flags and Python helper
+scripts (SURVEY.md C14/C16).  Subcommands map 1:1 to the judged configs
+(BASELINE.json):
+
+  count     — config 1: k-mer counting + spectrum histogram (CPU-runnable)
+  seeds     — config 2: minimizer seeding + candidate pair detection
+  overlap   — config 3: banded SW overlap extension (PAF out)
+  assemble  — config 4: overlap graph, transitive reduction, contigs
+  pipeline  — config 5: full hybrid correction + assembly + polish
+  correct   — config 5a alone: hybrid long-read correction
+  eval      — contig identity / N50 vs a reference genome
+  simulate  — synthetic genome + hybrid read set generator
+  bench     — GCUPS / reads-per-second micro benchmarks
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from hga_tpu.config import AssemblerConfig
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-o", "--outdir", default="hga_out")
+    p.add_argument("-k", type=int, default=None)
+    p.add_argument("-w", type=int, default=None)
+    p.add_argument("--band", type=int, default=None)
+    p.add_argument("--batch-reads", type=int, default=None)
+    p.add_argument("--max-seed-freq", type=int, default=None)
+    p.add_argument("--min-shared", type=int, default=None)
+    p.add_argument("--solid-threshold", type=int, default=None)
+    p.add_argument("--config", help="JSON config file (overridden by flags)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
+def _build_cfg(args) -> AssemblerConfig:
+    cfg = AssemblerConfig()
+    if getattr(args, "config", None):
+        with open(args.config) as fh:
+            cfg = AssemblerConfig.from_json(fh.read())
+    overrides = {}
+    for flag, field in [("k", "k"), ("w", "w"), ("band", "band"),
+                        ("batch_reads", "batch_reads"),
+                        ("max_seed_freq", "max_seed_freq"),
+                        ("min_shared", "min_shared_minimizers"),
+                        ("solid_threshold", "solid_threshold")]:
+        v = getattr(args, flag, None)
+        if v is not None:
+            overrides[field] = v
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def _load(args):
+    from hga_tpu.models.pipeline import load_reads
+
+    return load_reads(args.short or [], getattr(args, "long", None) or [])
+
+
+def cmd_count(args) -> int:
+    from hga_tpu.models.spectrum import count_reads
+
+    cfg = _build_cfg(args)
+    pr_s, _ = _load(args)
+    if pr_s is None:
+        print("no short reads", file=sys.stderr)
+        return 2
+    res = count_reads(pr_s, cfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    res.save(os.path.join(args.outdir, "spectrum.npz"))
+    with open(os.path.join(args.outdir, "spectrum_hist.tsv"), "w") as fh:
+        for c, n in enumerate(res.hist):
+            fh.write(f"{c}\t{int(n)}\n")
+    print(json.dumps({"distinct_kmers": res.n_distinct, "k": res.k,
+                      "solid_threshold": res.threshold,
+                      "solid_kmers": int((res.count >= res.threshold).sum())}))
+    return 0
+
+
+def cmd_seeds(args) -> int:
+    from hga_tpu.models.seeding import find_candidates
+
+    cfg = _build_cfg(args)
+    pr_s, _ = _load(args)
+    if pr_s is None:
+        print("no reads", file=sys.stderr)
+        return 2
+    res = find_candidates(pr_s, cfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    res.save(os.path.join(args.outdir, "candidates.npz"))
+    print(json.dumps({"candidates": res.n_pairs, "overflow": res.overflow}))
+    return 0
+
+
+def cmd_overlap(args) -> int:
+    from hga_tpu.models.overlap import compute_overlaps
+    from hga_tpu.models.seeding import find_candidates
+
+    cfg = _build_cfg(args)
+    pr_s, pr_l = _load(args)
+    pr = pr_s if pr_l is None else pr_l
+    if pr is None:
+        print("no reads", file=sys.stderr)
+        return 2
+    cands = find_candidates(pr, cfg)
+    ov = compute_overlaps(pr, cands, cfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    ov.save(os.path.join(args.outdir, "overlaps.npz"))
+    with open(os.path.join(args.outdir, "overlaps.paf"), "w") as fh:
+        fh.write(ov.to_paf(pr.names, pr.names))
+    print(json.dumps({"candidates": cands.n_pairs, "overlaps": ov.n}))
+    return 0
+
+
+def cmd_assemble(args) -> int:
+    from hga_tpu.models.pipeline import run_pipeline
+
+    cfg = _build_cfg(args)
+    pr_s, pr_l = _load(args)
+    res = run_pipeline(pr_s, pr_l, cfg, args.outdir, resume=args.resume)
+    print(json.dumps(res.stats))
+    return 0
+
+
+def cmd_correct(args) -> int:
+    from hga_tpu.io.fastq import write_fasta
+    from hga_tpu.io.encode import unpack_read
+    from hga_tpu.models.correction import correct_long_reads
+
+    cfg = _build_cfg(args)
+    pr_s, pr_l = _load(args)
+    if pr_s is None or pr_l is None:
+        print("need both --short and --long", file=sys.stderr)
+        return 2
+    corr = correct_long_reads(pr_s, pr_l, cfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    corr.save(os.path.join(args.outdir, "corrected.npz"))
+    write_fasta(os.path.join(args.outdir, "corrected.fasta"),
+                [(corr.names[i], unpack_read(corr, i))
+                 for i in range(corr.n_reads)])
+    print(json.dumps({"corrected": corr.n_reads}))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from hga_tpu.io.fastq import iter_records
+    from hga_tpu.utils.evalx import evaluate_contigs
+
+    contigs = [(r.name, r.seq) for r in iter_records(args.contigs)]
+    ref = "".join(r.seq for r in iter_records(args.reference))
+    print(json.dumps(evaluate_contigs(contigs, ref, k=args.k or 21)))
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from hga_tpu.io.fastq import write_fasta
+    from hga_tpu.utils import sim
+
+    ds = sim.make_dataset(genome_len=args.genome_len,
+                          short_cov=args.short_cov, long_cov=args.long_cov,
+                          seed=args.seed, short_err=args.short_err,
+                          long_err=args.long_err)
+    os.makedirs(args.outdir, exist_ok=True)
+    write_fasta(os.path.join(args.outdir, "genome.fasta"),
+                [("genome", ds.genome)])
+    write_fasta(os.path.join(args.outdir, "short.fasta"),
+                list(zip(ds.short_names, ds.short_seqs)))
+    if ds.long_seqs:
+        write_fasta(os.path.join(args.outdir, "long.fasta"),
+                    list(zip(ds.long_names, ds.long_seqs)))
+    print(json.dumps({"genome_len": len(ds.genome),
+                      "short_reads": len(ds.short_seqs),
+                      "long_reads": len(ds.long_seqs)}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from hga_tpu.utils.benchmarks import run_benchmark
+
+    out = run_benchmark(what=args.what, n_pairs=args.pairs)
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="hga", description="TPU-native hybrid genome assembler")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name, fn, needs_reads in [
+        ("count", cmd_count, True), ("seeds", cmd_seeds, True),
+        ("overlap", cmd_overlap, True), ("assemble", cmd_assemble, True),
+        ("pipeline", cmd_assemble, True), ("correct", cmd_correct, True),
+    ]:
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.add_argument("--short", nargs="*", default=[],
+                       help="short-read FASTQ/FASTA files")
+        p.add_argument("--long", nargs="*", default=[],
+                       help="long-read FASTQ/FASTA files")
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("eval")
+    p.add_argument("--contigs", required=True)
+    p.add_argument("--reference", required=True)
+    p.add_argument("-k", type=int, default=21)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("simulate")
+    p.add_argument("-o", "--outdir", default="hga_sim")
+    p.add_argument("--genome-len", type=int, default=50_000)
+    p.add_argument("--short-cov", type=float, default=30.0)
+    p.add_argument("--long-cov", type=float, default=20.0)
+    p.add_argument("--short-err", type=float, default=0.01)
+    p.add_argument("--long-err", type=float, default=0.10)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("bench")
+    p.add_argument("--what", default="sw", choices=["sw", "count", "pipeline"])
+    p.add_argument("--pairs", type=int, default=4096)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if getattr(args, "verbose", False) else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    if getattr(args, "profile", None):
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        try:
+            return args.fn(args)
+        finally:
+            jax.profiler.stop_trace()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,303 @@
+"""Stage 5 (judged config 5) — hybrid correction + consensus polishing.
+
+Pipeline: short reads are anchored to each backbone (long read, or contig
+during polishing) via cross-category candidates (stage 2 machinery), aligned
+with the direction-recording wavefront DP (ops.align.banded_sw_batch_dirs),
+traced back to per-column symbols, and scatter-added into device pileup vote
+tensors (ops.pileup); the consensus call rewrites each backbone column.
+
+The reference does this as per-read scalar DP + per-column counting loops
+(SURVEY.md C12/C13); here every batch of (short read x backbone window)
+alignments runs as one device wavefront sweep and one scatter-add.
+
+Round-1 scope: substitution + deletion consensus (insertions in the backbone
+are voted via symbol 4 and removed; bases the short reads insert relative to
+the backbone are not yet added — noted for the next round).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io.encode import PackedReads, decode_bases, pack_reads, unpack_codes
+from hga_tpu.models.overlap import SENT_BASE
+from hga_tpu.models.seeding import extract_seed_entries
+from hga_tpu.ops import pairs as OP
+from hga_tpu.ops import pileup as PU
+from hga_tpu.ops.align import banded_sw_batch_dirs, o_of_host
+
+log = logging.getLogger(__name__)
+
+# when set to a dict, consensus_backbones stashes its raw vote tensors here
+_DEBUG_SINK: Optional[dict] = None
+
+
+def find_candidates_cross(
+    pr_a: PackedReads, pr_b: PackedReads, cfg: AssemblerConfig,
+    pair_cap: Optional[int] = None,
+):
+    """Candidates between two read sets (a ids first, b ids offset by |a|).
+
+    Returns a SeedingResult-like tuple of host arrays (a, b, rel, diag) with
+    `a` indexing pr_a and `b` indexing pr_b.
+    """
+    ea = extract_seed_entries(pr_a, cfg)
+    eb = extract_seed_entries(pr_b, cfg)
+    na = pr_a.n_reads
+    hi = np.concatenate([ea.hi, eb.hi])
+    lo = np.concatenate([ea.lo, eb.lo])
+    read = np.concatenate([ea.read, eb.read + na]).astype(np.int32)
+    pos = np.concatenate([ea.pos, eb.pos]).astype(np.int32)
+    strand = np.concatenate([ea.strand, eb.strand]).astype(np.int32)
+    read_len = np.concatenate([pr_a.length, pr_b.length]).astype(np.int32)
+    category = np.concatenate(
+        [np.zeros(na, np.int32), np.ones(pr_b.n_reads, np.int32)])
+
+    N = hi.shape[0]
+    Np = ((max(N, 16) + 1023) // 1024) * 1024
+    pad = Np - N
+    hi = np.pad(hi, (0, pad), constant_values=0xFFFFFFFF)
+    lo = np.pad(lo, (0, pad), constant_values=0xFFFFFFFF)
+    read = np.pad(read, (0, pad))
+    pos = np.pad(pos, (0, pad))
+    strand = np.pad(strand, (0, pad))
+    if pair_cap is None:
+        pair_cap = max(64, 16 * pr_a.n_reads)
+    while True:
+        cp = OP.candidate_pairs(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(read),
+            jnp.asarray(pos), jnp.asarray(strand), jnp.asarray(read_len),
+            jnp.asarray(category), k=cfg.k, max_freq=cfg.max_seed_freq,
+            min_shared=cfg.min_shared_minimizers, pair_cap=pair_cap,
+            mode="cross")
+        if int(cp.overflow) == 0:
+            break
+        pair_cap *= 4
+    n = int(cp.n)
+    a = np.asarray(cp.a)[:n]
+    b = np.asarray(cp.b)[:n] - na
+    return (a.astype(np.int32), b.astype(np.int32),
+            np.asarray(cp.rel)[:n], np.asarray(cp.diag)[:n])
+
+
+def _traceback_votes(dirs, qend, tend, band, Lt, q_codes):
+    """Vectorized host traceback over a pair batch.
+
+    dirs: int8 (D, P, W) from banded_sw_batch_dirs; returns
+    (pid, col, sym, ins_pid, ins_col, ins_base):
+    * (pid, col, sym): column votes, col 0-based window column, sym in
+      {0..3 base, 4 deletion-of-backbone-column}.
+    * (ins_pid, ins_col, ins_base, ins_slot): the read carries base
+      `ins_base` inserted AFTER window column ins_col (dir=2 'up' moves —
+      these are the backbone's missing bases, the dominant nanopore deletion
+      error).  ins_slot counts the base's position FROM THE END of a
+      multi-base insertion run (traceback walks backwards).
+    """
+    P = qend.shape[0]
+    i = qend.astype(np.int64).copy()
+    j = tend.astype(np.int64).copy()
+    active = qend > 0
+    out_pid: List[np.ndarray] = []
+    out_col: List[np.ndarray] = []
+    out_sym: List[np.ndarray] = []
+    ins_pid: List[np.ndarray] = []
+    ins_col: List[np.ndarray] = []
+    ins_base: List[np.ndarray] = []
+    ins_slot: List[np.ndarray] = []
+    run = np.zeros(P, np.int64)
+    max_steps = int((qend + tend).max()) if P else 0
+    pid_all = np.arange(P)
+    for _ in range(max_steps):
+        if not active.any():
+            break
+        d = i + j
+        o_d = o_of_host(d, band, Lt)
+        p = i - o_d
+        dir_ = np.zeros(P, np.int8)
+        idx = np.nonzero(active)[0]
+        ok = (p[idx] >= 0) & (p[idx] < dirs.shape[2]) & (d[idx] >= 2)
+        safe = idx[ok]
+        dir_[safe] = dirs[d[safe] - 2, safe, p[safe]]
+        diag = active & (dir_ == 1)
+        up = active & (dir_ == 2)
+        left = active & (dir_ == 3)
+        pid = pid_all[diag]
+        out_pid.append(pid)
+        out_col.append(j[diag] - 1)
+        out_sym.append(q_codes[pid, i[diag] - 1].astype(np.int64))
+        pid = pid_all[left]
+        out_pid.append(pid)
+        out_col.append(j[left] - 1)
+        out_sym.append(np.full(pid.shape[0], 4, np.int64))
+        pid = pid_all[up]
+        ins_pid.append(pid)
+        ins_col.append(j[up] - 1)
+        ins_base.append(q_codes[pid, i[up] - 1].astype(np.int64))
+        ins_slot.append(run[up])
+        run = np.where(up, run + 1, 0)
+        i = i - (diag | up)
+        j = j - (diag | left)
+        active = active & (dir_ != 0) & (i >= 1) & (j >= 1)
+    cat = lambda xs: (np.concatenate(xs) if xs else np.zeros(0, np.int64))
+    return (cat(out_pid), cat(out_col), cat(out_sym),
+            cat(ins_pid), cat(ins_col), cat(ins_base), cat(ins_slot))
+
+
+def consensus_backbones(
+    backbones: PackedReads,
+    reads: PackedReads,
+    cfg: AssemblerConfig,
+    batch_pairs: int = 1024,
+    min_score: Optional[int] = None,
+) -> List[str]:
+    """Correct every backbone by short-read pileup consensus (device DP +
+    device scatter votes); returns corrected sequences."""
+    nb = backbones.n_reads
+    Lpad = backbones.pad_len
+    if min_score is None:
+        min_score = cfg.min_overlap_score
+
+    a, b, rel, diag = find_candidates_cross(reads, backbones, cfg)
+    log.info("correction: %d read->backbone candidates for %d backbones",
+             len(a), nb)
+    batch_pairs = min(batch_pairs,
+                      max(8, 1 << (max(1, len(a)) - 1).bit_length()))
+
+    r_codes = unpack_codes(reads.packed).astype(np.int32)
+    Lq = r_codes.shape[1]
+    past = np.arange(Lq)[None, :] >= reads.length[:, None]
+    r_codes[past] = SENT_BASE
+    b_codes_fwd = unpack_codes(backbones.packed).astype(np.int32)
+    pastb = np.arange(Lpad)[None, :] >= backbones.length[:, None]
+    b_codes_fwd[pastb] = SENT_BASE
+
+    Wt = Lq + cfg.band + 8
+    votes = np.zeros((nb, Lpad, PU.N_SYM), np.int32)
+    # ins_votes[b, col, s, base]: base inserted after col, s-th from the end
+    # of the insertion run (restores up to INS_SLOTS-base deletions per pass)
+    INS_SLOTS = 3
+    ins_votes = np.zeros((nb, Lpad, INS_SLOTS, 4), np.int32)
+
+    for s in range(0, len(a), batch_pairs):
+        aa = a[s : s + batch_pairs].astype(np.int64)
+        bb = b[s : s + batch_pairs].astype(np.int64)
+        rr = rel[s : s + batch_pairs].astype(np.int32)
+        dd = diag[s : s + batch_pairs].astype(np.int32)
+        nbatch = aa.shape[0]
+        P = batch_pairs
+        if nbatch < P:
+            padn = P - nbatch
+            aa = np.pad(aa, (0, padn))
+            bb = np.pad(bb, (0, padn))
+            rr = np.pad(rr, (0, padn))
+            dd = np.pad(dd, (0, padn))
+        # Orient the READ, not the backbone: every alignment then runs
+        # against the backbone's forward-strand context, so gap placement in
+        # repeats tie-breaks identically for both read strands and pileup
+        # votes concentrate instead of splitting across equivalent indel
+        # positions.
+        la = reads.length[aa].astype(np.int64)
+        q = r_codes[aa]
+        flip = rr == 1
+        qidx = (la[:, None] - 1) - np.arange(Lq)[None, :]
+        q_rc = np.where(qidx >= 0,
+                        np.take_along_axis(q, np.clip(qidx, 0, Lq - 1), 1),
+                        SENT_BASE)
+        q_rc = np.where(q_rc < 4, 3 - q_rc, q_rc)
+        q = np.where(flip[:, None], q_rc, q).astype(np.int32)
+        qlen = np.where(np.arange(P) < nbatch, reads.length[aa], 0).astype(np.int32)
+        # candidate diag was estimated with the BACKBONE oriented; with the
+        # read flipped instead, the expected forward-frame diagonal becomes
+        # diag' = la - lb - diag (seed algebra), i.e. off = -diag' - band/2
+        lb = backbones.length[bb].astype(np.int64)
+        off = np.where(flip, dd + lb - la, -dd).astype(np.int64) - cfg.band // 2
+        pos_f = np.arange(Wt)[None, :] + off[:, None]
+        in_range = (pos_f >= 0) & (pos_f < lb[:, None])
+        b_flat = b_codes_fwd.reshape(-1)
+        vals = b_flat[bb[:, None] * Lpad + np.clip(pos_f, 0, Lpad - 1)]
+        t_win = np.where(in_range, vals, SENT_BASE).astype(np.int32)
+        tlen = np.where(np.arange(P) < nbatch, Wt, 0).astype(np.int32)
+        res, dirs = banded_sw_batch_dirs(
+            jnp.asarray(q), jnp.asarray(t_win), jnp.asarray(qlen),
+            jnp.asarray(tlen), band=cfg.band, match=cfg.match,
+            mismatch=cfg.mismatch, gap=cfg.gap)
+        score = np.asarray(res.score)
+        qend = np.asarray(res.qend)
+        tend = np.asarray(res.tend)
+        keep = score >= min_score
+        qend = np.where(keep, qend, 0)
+        pid, col_win, sym, ipid, icol, ibase, islot = _traceback_votes(
+            np.asarray(dirs), qend, tend, cfg.band, Wt, q)
+        # window col -> forward backbone col (windows are forward-frame now)
+        col_fwd = col_win + off[pid]
+        lbp = lb[pid]
+        valid = (col_fwd >= 0) & (col_fwd < lbp)
+        np.add.at(votes, (bb[pid[valid]], col_fwd[valid], sym[valid]), 1)
+        icol_fwd = icol + off[ipid]
+        ilb = lb[ipid]
+        ivalid = (icol_fwd >= 0) & (icol_fwd < ilb) & (islot < INS_SLOTS)
+        np.add.at(
+            ins_votes,
+            (bb[ipid[ivalid]], icol_fwd[ivalid], islot[ivalid],
+             ibase[ivalid]), 1)
+
+    if _DEBUG_SINK is not None:  # observability hook for tests/debugging
+        _DEBUG_SINK.update(votes=votes, ins_votes=ins_votes)
+
+    # device consensus call over all backbones at once
+    flat_votes = jnp.asarray(votes.reshape(nb * Lpad, PU.N_SYM))
+    flat_backbone = jnp.asarray(b_codes_fwd.reshape(nb * Lpad).clip(0, 3))
+    sym_out, depth = PU.consensus_call(flat_votes, flat_backbone,
+                                       min_depth=cfg.min_pileup_depth)
+    sym_out = np.asarray(sym_out).reshape(nb, Lpad)
+    depth = np.asarray(depth).reshape(nb, Lpad)
+    # insertion call: majority of covering reads must carry the extra base
+    ins_best = ins_votes.argmax(-1).astype(np.uint8)        # (nb, L, S)
+    ins_cnt = ins_votes.max(-1)
+    need = np.maximum(cfg.min_pileup_depth, (depth + 1) // 2)
+    do_ins = ins_cnt >= need[..., None]
+    out: List[str] = []
+    stride = 1 + INS_SLOTS
+    for i in range(nb):
+        L = int(backbones.length[i])
+        vals = np.empty(stride * L, np.uint8)
+        mask = np.zeros(stride * L, bool)
+        vals[0::stride] = sym_out[i, :L].astype(np.uint8)
+        mask[0::stride] = sym_out[i, :L] != 4
+        for s in range(INS_SLOTS):
+            # slot s is s-th from the run END: emit higher slots first
+            o = 1 + (INS_SLOTS - 1 - s)
+            vals[o::stride] = ins_best[i, :L, s]
+            mask[o::stride] = do_ins[i, :L, s]
+        out.append(decode_bases(vals[mask]))
+    return out
+
+
+def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
+                       cfg: AssemblerConfig, **kw) -> PackedReads:
+    """Config-5 first half: hybrid error correction of long reads."""
+    corrected = consensus_backbones(pr_long, pr_short, cfg, **kw)
+    return pack_reads(corrected, names=[n + "_corr" for n in pr_long.names],
+                      category=np.ones(len(corrected), np.int32),
+                      pad_len=pr_long.pad_len)
+
+
+def polish_contigs(contigs: List[Tuple[str, str]], pr_short: PackedReads,
+                   cfg: AssemblerConfig, **kw) -> List[Tuple[str, str]]:
+    """Config-5 second half: polish assembled contigs with short reads."""
+    if not contigs:
+        return []
+    names = [n for n, _ in contigs]
+    seqs = [s for _, s in contigs]
+    pad = max(len(s) for s in seqs)
+    backbones = pack_reads(seqs, names=names,
+                           category=np.ones(len(seqs), np.int32), pad_len=pad)
+    polished = consensus_backbones(backbones, pr_short, cfg, **kw)
+    return list(zip(names, polished))

@@ -34,6 +34,33 @@ log = logging.getLogger(__name__)
 SENT_BASE = 4  # padding base code: never matches a real base 0..3
 
 
+def default_sw(cfg: "AssemblerConfig"):
+    """Score-only SW dispatch: the Pallas wavefront kernel on TPU for
+    short-query shapes, the XLA implementation elsewhere (CPU tests, long
+    queries over the full-width budget)."""
+    import jax as _jax
+
+    from hga_tpu.ops.align_pallas import (MAX_QUERY_LEN,
+                                          banded_sw_batch_pallas)
+
+    plat = _jax.devices()[0].platform
+
+    def sw(q, t, ql, tl, band):
+        N, Lq = q.shape
+        if plat in ("tpu", "axon") and Lq <= MAX_QUERY_LEN and N % 8 == 0:
+            tile = 128 if N % 128 == 0 else 8
+            try:
+                return banded_sw_batch_pallas(
+                    q, t, ql, tl, band=band, match=cfg.match,
+                    mismatch=cfg.mismatch, gap=cfg.gap, pair_tile=tile)
+            except Exception as e:  # pragma: no cover - compiler fallback
+                log.warning("pallas SW fallback to XLA: %s", str(e)[:200])
+        return banded_sw_batch(q, t, ql, tl, band=band, match=cfg.match,
+                               mismatch=cfg.mismatch, gap=cfg.gap)
+
+    return sw
+
+
 @dataclasses.dataclass
 class OverlapRecords:
     """PAF-shaped overlaps (SURVEY.md Appendix A).
@@ -115,9 +142,12 @@ def compute_overlaps(
     if cands.n_pairs == 0:
         z = np.zeros(0, np.int32)
         return OverlapRecords(z, z, z, z, z, z, z, z, z, z)
-    sw = sw_fn or (lambda q, t, ql, tl, band: banded_sw_batch(
-        q, t, ql, tl, band=band, match=cfg.match,
-        mismatch=cfg.mismatch, gap=cfg.gap))
+    sw = sw_fn or default_sw(cfg)
+
+    # don't pad a small candidate list up to a huge static batch; round to a
+    # power of two so the number of distinct compiled shapes stays bounded
+    batch_pairs = min(batch_pairs,
+                      max(8, 1 << (cands.n_pairs - 1).bit_length()))
 
     codes = unpack_codes(pr.packed).astype(np.int32)  # (R, pad_len)
     # mask bases past each read's length so they can never match

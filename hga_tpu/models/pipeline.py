@@ -1,0 +1,244 @@
+"""L7/L6 — the full hybrid pipeline driver (judged config 5) with resume.
+
+Wires the five stages end to end:
+
+  1. ingest + pack reads (L0)                       -> reads artifact
+  2. k-mer spectrum on short reads (config 1)       -> spectrum artifact
+  3. hybrid correction of long reads (config 5a)    -> corrected artifact
+  4. all-vs-all overlap of corrected longs (2+3)    -> overlaps artifact
+  5. string graph -> contigs (config 4)             -> contigs.fasta / .gfa
+  6. short-read polish of contigs (config 5b)       -> polished.fasta
+
+Every stage writes a typed artifact keyed by a config+input digest;
+`resume=True` skips stages whose artifact matches (SURVEY.md §6
+checkpoint/resume: the reference has none — stage outputs on disk act as its
+implicit checkpoints; here they are explicit and hash-guarded).
+
+Short-read-only mode (no long reads) assembles the short reads directly —
+the reference supports the same degenerate mode through its CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io.encode import PackedReads, pack_reads
+from hga_tpu.io.fastq import read_sequence_files, write_fasta
+from hga_tpu.models.assembly import AssemblyResult, assemble
+from hga_tpu.models.correction import correct_long_reads, polish_contigs
+from hga_tpu.models.overlap import compute_overlaps, OverlapRecords
+from hga_tpu.models.seeding import find_candidates, SeedingResult
+from hga_tpu.models.spectrum import SpectrumResult, count_reads
+
+log = logging.getLogger(__name__)
+
+
+def _round16(n: int) -> int:
+    return max(16, ((n + 15) // 16) * 16)
+
+
+def _load_native(paths: Sequence[str], pad: int, category: int
+                 ) -> Optional[PackedReads]:
+    """Stream files through the C++ parser/packer (hga_tpu/io/native)."""
+    from hga_tpu.io import native as NV
+
+    packed, bad, lengths, names = [], [], [], []
+    for p in paths:
+        for pk, bd, ln, nm in NV.read_packed_batches(p, pad):
+            packed.append(pk)
+            bad.append(bd)
+            lengths.append(ln)
+            names.extend(nm)
+    if not packed:
+        return None
+    n = sum(x.shape[0] for x in packed)
+    return PackedReads(
+        packed=np.concatenate(packed), bad=np.concatenate(bad),
+        length=np.concatenate(lengths), names=names,
+        category=np.full(n, category, np.int32), pad_len=pad)
+
+
+def load_reads(
+    short_paths: Sequence[str] = (),
+    long_paths: Sequence[str] = (),
+    short_pad: Optional[int] = None,
+    long_pad: Optional[int] = None,
+) -> Tuple[Optional[PackedReads], Optional[PackedReads]]:
+    """Stream FASTQ/FASTA files into packed short/long read batches.
+
+    When pad lengths are known up front and the native C++ parser built, the
+    packing happens in native code (single pass, no Python string objects);
+    otherwise the pure-Python reader runs (two passes over lengths).
+    """
+    from hga_tpu.io import native as NV
+
+    if NV.available() and short_pad is not None and (
+            not long_paths or long_pad is not None):
+        pr_s = _load_native(short_paths, short_pad, 0) if short_paths else None
+        pr_l = _load_native(long_paths, long_pad, 1) if long_paths else None
+        return pr_s, pr_l
+
+    shorts, snames, longs, lnames = [], [], [], []
+    for rec in read_sequence_files(list(short_paths) + list(long_paths),
+                                   categories=[0] * len(short_paths)
+                                   + [1] * len(long_paths)):
+        if rec.category == 0:
+            shorts.append(rec.seq)
+            snames.append(rec.name)
+        else:
+            longs.append(rec.seq)
+            lnames.append(rec.name)
+    pr_s = pr_l = None
+    if shorts:
+        pad = short_pad or _round16(max(len(s) for s in shorts))
+        pr_s = pack_reads(shorts, names=snames, pad_len=pad)
+    if longs:
+        pad = long_pad or _round16(max(len(s) for s in longs))
+        pr_l = pack_reads(longs, names=lnames,
+                          category=[1] * len(longs), pad_len=pad)
+    return pr_s, pr_l
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    contigs: List[Tuple[str, str]]
+    polished: List[Tuple[str, str]]
+    stats: Dict
+
+
+class _Stage:
+    """Artifact-checkpointed stage runner with digest-based resume."""
+
+    def __init__(self, outdir: str, resume: bool, cfg: AssemblerConfig):
+        self.outdir = outdir
+        self.resume = resume
+        self.digest = hashlib.sha256(cfg.to_json().encode()).hexdigest()[:16]
+        self.stats: Dict = {"stages": {}}
+        os.makedirs(outdir, exist_ok=True)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.outdir, f"{name}.meta.json")
+
+    def fresh(self, name: str, inputs_digest: str = "") -> bool:
+        if not self.resume:
+            return False
+        try:
+            with open(self._meta_path(name)) as fh:
+                meta = json.load(fh)
+            return (meta.get("config") == self.digest
+                    and meta.get("inputs") == inputs_digest)
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def done(self, name: str, t0: float, inputs_digest: str = "") -> None:
+        dt = time.perf_counter() - t0
+        self.stats["stages"][name] = {"seconds": round(dt, 3)}
+        with open(self._meta_path(name), "w") as fh:
+            json.dump({"config": self.digest, "inputs": inputs_digest,
+                       "seconds": dt}, fh)
+        log.info("stage %s: %.2fs", name, dt)
+
+
+def run_pipeline(
+    pr_short: Optional[PackedReads],
+    pr_long: Optional[PackedReads],
+    cfg: AssemblerConfig,
+    outdir: str,
+    resume: bool = False,
+) -> PipelineResult:
+    st = _Stage(outdir, resume, cfg)
+    t_all = time.perf_counter()
+    n_short = pr_short.n_reads if pr_short else 0
+    n_long = pr_long.n_reads if pr_long else 0
+    inputs = f"s{n_short}l{n_long}"
+    path = lambda f: os.path.join(outdir, f)
+
+    # --- stage: spectrum (config 1) ---
+    spec = None
+    if pr_short is not None:
+        if st.fresh("spectrum", inputs) and os.path.exists(path("spectrum.npz")):
+            spec = SpectrumResult.load(path("spectrum.npz"))
+        else:
+            t0 = time.perf_counter()
+            spec = count_reads(pr_short, cfg)
+            spec.save(path("spectrum.npz"))
+            st.done("spectrum", t0, inputs)
+        st.stats["spectrum"] = {"distinct": spec.n_distinct,
+                                "threshold": spec.threshold}
+        # derive the repeat mask cap from estimated coverage: the spectrum's
+        # coverage peak ~ per-base read coverage of the k-mer plane
+        hist = spec.hist
+        if hist.size > 4 and cfg.solid_threshold == 0:
+            peak = int(np.argmax(hist[spec.threshold:]) + spec.threshold)
+            cap = max(cfg.max_seed_freq, 4 * peak)
+            if cap != cfg.max_seed_freq:
+                log.info("raising max_seed_freq %d -> %d (coverage peak %d)",
+                         cfg.max_seed_freq, cap, peak)
+                cfg = cfg.replace(max_seed_freq=cap)
+
+    # --- stage: correction (config 5a) ---
+    asm_reads = pr_short
+    if pr_long is not None:
+        if st.fresh("corrected", inputs) and os.path.exists(path("corrected.npz")):
+            asm_reads = PackedReads.load(path("corrected.npz"))
+        else:
+            t0 = time.perf_counter()
+            if pr_short is not None:
+                asm_reads = correct_long_reads(pr_short, pr_long, cfg)
+            else:
+                asm_reads = pr_long
+            asm_reads.save(path("corrected.npz"))
+            st.done("corrected", t0, inputs)
+
+    if asm_reads is None:
+        raise ValueError("no reads given")
+
+    # --- stage: candidates + overlaps (configs 2-3) ---
+    if st.fresh("overlaps", inputs) and os.path.exists(path("overlaps.npz")):
+        ov = OverlapRecords.load(path("overlaps.npz"))
+    else:
+        t0 = time.perf_counter()
+        cands = find_candidates(asm_reads, cfg)
+        cands.save(path("candidates.npz"))
+        ov = compute_overlaps(asm_reads, cands, cfg)
+        ov.save(path("overlaps.npz"))
+        st.done("overlaps", t0, inputs)
+    st.stats["overlaps"] = {"n": ov.n}
+
+    # --- stage: assembly (config 4) ---
+    t0 = time.perf_counter()
+    res = assemble(asm_reads, ov, cfg)
+    write_fasta(path("contigs.fasta"), res.contigs)
+    with open(path("assembly.gfa"), "w") as fh:
+        fh.write(res.to_gfa(asm_reads.names, asm_reads.length))
+    st.done("assembly", t0, inputs)
+    st.stats["assembly"] = {
+        "contigs": len(res.contigs),
+        "edges_raw": res.n_edges_raw,
+        "edges_reduced": res.n_edges_reduced,
+        "contained": res.n_contained,
+    }
+
+    # --- stage: polish (config 5b) ---
+    polished = res.contigs
+    if pr_short is not None and res.contigs:
+        t0 = time.perf_counter()
+        polished = polish_contigs(res.contigs, pr_short, cfg)
+        write_fasta(path("polished.fasta"), polished)
+        st.done("polish", t0, inputs)
+
+    st.stats["total_seconds"] = round(time.perf_counter() - t_all, 3)
+    st.stats["config"] = json.loads(cfg.to_json())
+    with open(path("run_metrics.json"), "w") as fh:
+        json.dump(st.stats, fh, indent=2)
+    return PipelineResult(contigs=res.contigs, polished=polished,
+                          stats=st.stats)

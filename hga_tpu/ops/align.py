@@ -137,6 +137,99 @@ def banded_sw_batch(
     return SWResult(score=jnp.maximum(best, 0), qend=qend, tend=tend)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("band", "match", "mismatch", "gap"))
+def banded_sw_batch_dirs(
+    q: jax.Array,
+    t: jax.Array,
+    qlen: jax.Array,
+    tlen: jax.Array,
+    band: int = 64,
+    match: int = 2,
+    mismatch: int = -4,
+    gap: int = -3,
+) -> Tuple[SWResult, jax.Array]:
+    """Wavefront SW that also records per-cell traceback directions.
+
+    Returns (SWResult, dirs) with dirs int8 (D, P, W), D = Lq+Lt-1 steps
+    (index d-2), W the padded band width; dir codes: 0 = local start (stop),
+    1 = diagonal, 2 = up (gap in target), 3 = left (gap in query) — matching
+    the oracle's diag > up > left preference.  Used by the correction /
+    polishing stage (models/correction.py) where base-level columns are
+    needed; the score-only variant stays cheaper for overlap detection.
+    """
+    P, Lq = q.shape
+    Lt = t.shape[1]
+    W = ((band + 1 + 127) // 128) * 128
+
+    q_ext = jnp.pad(q.astype(I32), ((0, 0), (0, W)))
+    t_rev = jnp.flip(t.astype(I32), axis=1)
+    t_ext = jnp.pad(t_rev, ((0, 0), (0, W)))
+    p_idx = jnp.arange(W, dtype=I32)[None, :]
+    qlen_c = qlen.astype(I32)[:, None]
+    tlen_c = tlen.astype(I32)[:, None]
+
+    def step(carry, d):
+        ad1, ad2, best, best_d, best_p = carry
+        o_d = _o_of(d, band, Lt)
+        d1 = o_d - _o_of(d - 1, band, Lt)
+        d2 = o_d - _o_of(d - 2, band, Lt)
+        i = o_d + p_idx
+        j = d - i
+        qs = jax.lax.dynamic_slice(q_ext, (jnp.int32(0), o_d - 1), (P, W))
+        ts = jax.lax.dynamic_slice(t_ext, (jnp.int32(0), Lt - d + o_d), (P, W))
+        sub = jnp.where(qs == ts, jnp.int32(match), jnp.int32(mismatch))
+        ad1e = _pad2(ad1)
+        ad2e = _pad2(ad2)
+        diag_v = _shift(ad2e, d2 - 1, W)
+        up_v = _shift(ad1e, d1 - 1, W)
+        left_v = _shift(ad1e, d1, W)
+        diag_v = jnp.where((i == 1) | (j == 1), 0, diag_v)
+        up_v = jnp.where(i == 1, 0, up_v)
+        left_v = jnp.where(j == 1, 0, left_v)
+        cand_diag = diag_v + sub
+        cand_up = up_v + jnp.int32(gap)
+        cand_left = left_v + jnp.int32(gap)
+        v = jnp.maximum(jnp.maximum(cand_diag, jnp.int32(0)),
+                        jnp.maximum(cand_up, cand_left))
+        # direction of the winning predecessor (diag > up > left > stop)
+        dirs = jnp.where(
+            v == cand_diag, jnp.int8(1),
+            jnp.where(v == cand_up, jnp.int8(2),
+                      jnp.where(v == cand_left, jnp.int8(3), jnp.int8(0))))
+        dirs = jnp.where(v == 0, jnp.int8(0), dirs)
+        i_hi = jnp.minimum(jnp.minimum(Lq, d - 1), (d + band) // 2)
+        valid = (p_idx <= i_hi - o_d) & (i <= qlen_c) & (j >= 1) & (j <= tlen_c)
+        v = jnp.where(valid, v, NEG)
+        dirs = jnp.where(valid, dirs, jnp.int8(0))
+        m = jnp.max(v, axis=1)
+        pm = jnp.argmax(v, axis=1).astype(I32)
+        better = m > best
+        best = jnp.where(better, m, best)
+        best_d = jnp.where(better, d, best_d)
+        best_p = jnp.where(better, pm, best_p)
+        return (v, ad1, best, best_d, best_p), dirs
+
+    ad_init = jnp.full((P, W), NEG, I32)
+    z = jnp.zeros((P,), I32)
+    carry = (ad_init, ad_init, z, z, z)
+    ds = jnp.arange(2, Lq + Lt + 1, dtype=I32)
+    carry, dir_steps = jax.lax.scan(step, carry, ds)
+    _, _, best, best_d, best_p = carry
+    has = best > 0
+    qend = jnp.where(has, _o_of(best_d, band, Lt) + best_p, 0)
+    tend = jnp.where(has, best_d - qend, 0)
+    res = SWResult(score=jnp.maximum(best, 0), qend=qend, tend=tend)
+    return res, dir_steps
+
+
+def o_of_host(d, band: int, Lt: int):
+    """Host mirror of the band's lower i bound (for traceback indexing)."""
+    import numpy as np
+
+    return np.maximum(np.maximum(1, d - Lt), (d - band + 1) // 2)
+
+
 def sw_cells(qlen, tlen, band: int):
     """Number of in-band DP cells actually defined (for GCUPS accounting)."""
     import numpy as np

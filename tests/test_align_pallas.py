@@ -15,7 +15,7 @@ from hga_tpu.ops.align import banded_sw_batch
 from hga_tpu.ops.align_pallas import banded_sw_batch_pallas
 
 
-@pytest.mark.parametrize("band,Lq,Lt", [(9, 40, 48), (16, 64, 64), (31, 33, 90)])
+@pytest.mark.parametrize("band,Lq,Lt", [(9, 24, 32), (16, 40, 40)])
 def test_pallas_matches_xla(rng, band, Lq, Lt):
     N = 8
     q = jnp.asarray(rng.integers(0, 4, (N, Lq)).astype(np.int32))
@@ -23,7 +23,8 @@ def test_pallas_matches_xla(rng, band, Lq, Lt):
     ql = jnp.asarray(rng.integers(1, Lq + 1, N).astype(np.int32))
     tl = jnp.asarray(rng.integers(1, Lt + 1, N).astype(np.int32))
     r1 = banded_sw_batch(q, t, ql, tl, band=band)
-    r2 = banded_sw_batch_pallas(q, t, ql, tl, band=band, interpret=True)
+    r2 = banded_sw_batch_pallas(q, t, ql, tl, band=band, pair_tile=8,
+                                interpret=True)
     np.testing.assert_array_equal(np.asarray(r1.score), np.asarray(r2.score))
     np.testing.assert_array_equal(np.asarray(r1.qend), np.asarray(r2.qend))
     np.testing.assert_array_equal(np.asarray(r1.tend), np.asarray(r2.tend))
