@@ -104,22 +104,30 @@ def cmd_seeds(args) -> int:
 
 
 def cmd_overlap(args) -> int:
-    from hga_tpu.models.overlap import compute_overlaps
+    from hga_tpu.models.overlap import compute_overlaps, compute_overlaps_cross
     from hga_tpu.models.seeding import find_candidates
 
     cfg = _build_cfg(args)
     pr_s, pr_l = _load(args)
-    pr = pr_s if pr_l is None else pr_l
-    if pr is None:
-        print("no reads", file=sys.stderr)
-        return 2
-    cands = find_candidates(pr, cfg)
-    ov = compute_overlaps(pr, cands, cfg)
     os.makedirs(args.outdir, exist_ok=True)
+    if pr_s is not None and pr_l is not None:
+        # judged config 3: long nanopore reads vs the short-read index
+        ov = compute_overlaps_cross(pr_s, pr_l, cfg)
+        names_a, names_b = pr_s.names, pr_l.names
+        n_cands = ov.n
+    else:
+        pr = pr_s if pr_l is None else pr_l
+        if pr is None:
+            print("no reads", file=sys.stderr)
+            return 2
+        cands = find_candidates(pr, cfg)
+        ov = compute_overlaps(pr, cands, cfg)
+        names_a = names_b = pr.names
+        n_cands = cands.n_pairs
     ov.save(os.path.join(args.outdir, "overlaps.npz"))
     with open(os.path.join(args.outdir, "overlaps.paf"), "w") as fh:
-        fh.write(ov.to_paf(pr.names, pr.names))
-    print(json.dumps({"candidates": cands.n_pairs, "overlaps": ov.n}))
+        fh.write(ov.to_paf(names_a, names_b))
+    print(json.dumps({"candidates": int(n_cands), "overlaps": ov.n}))
     return 0
 
 
@@ -228,7 +236,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("bench")
-    p.add_argument("--what", default="sw", choices=["sw", "count", "pipeline"])
+    p.add_argument("--what", default="sw", choices=["sw", "count", "pipeline", "scaling"])
     p.add_argument("--pairs", type=int, default=4096)
     p.set_defaults(fn=cmd_bench)
 

@@ -174,8 +174,8 @@ def clean_graph(
         for u, v in alive:
             out[u].append(v)
             ind[v].append(u)
-        # --- tips: walk back from dead ends ---
-        for start in list(out.keys()) + list(ind.keys()):
+        # --- tips: walk back from every dead end, clip them all this pass ---
+        for start in ind.keys():
             if out.get(start):
                 continue
             # start is a dead end; walk backwards while unambiguous

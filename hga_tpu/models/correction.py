@@ -284,9 +284,12 @@ def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
                        cfg: AssemblerConfig, **kw) -> PackedReads:
     """Config-5 first half: hybrid error correction of long reads."""
     corrected = consensus_backbones(pr_long, pr_short, cfg, **kw)
+    # inserted bases can push a read past the original pad — re-derive it
+    pad = max(pr_long.pad_len,
+              ((max(len(s) for s in corrected) + 15) // 16) * 16)
     return pack_reads(corrected, names=[n + "_corr" for n in pr_long.names],
                       category=np.ones(len(corrected), np.int32),
-                      pad_len=pr_long.pad_len)
+                      pad_len=pad)
 
 
 def polish_contigs(contigs: List[Tuple[str, str]], pr_short: PackedReads,

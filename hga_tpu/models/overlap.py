@@ -239,3 +239,118 @@ def compute_overlaps(
         a_len=lengths[cat["a"]], b_len=lengths[cat["b"]], **cat)
     log.info("overlap: %d candidates -> %d overlaps", cands.n_pairs, rec.n)
     return rec
+
+
+def compute_overlaps_cross(
+    pr_a: PackedReads,
+    pr_b: PackedReads,
+    cfg: AssemblerConfig,
+    sw_fn=None,
+    batch_pairs: int = 4096,
+) -> OverlapRecords:
+    """Judged config 3: overlaps BETWEEN two read sets (short reads as
+    queries `a`, long reads as targets `b`).
+
+    The reference queries its short-read index with each long read
+    (SURVEY.md §4.2); here the cross-category candidates come from the
+    merged sorted minimizer index and each candidate aligns the short read
+    against a band-centered window of the long read — same wavefront kernel,
+    same coordinate conventions as the all-vs-all path (b coordinates in the
+    long read's forward frame; the READ is reverse-complemented for rel=1 so
+    alignments share the target's forward context).
+    """
+    from hga_tpu.models.correction import find_candidates_cross
+
+    a, b, rel, diag = find_candidates_cross(pr_a, pr_b, cfg)
+    if len(a) == 0:
+        z = np.zeros(0, np.int32)
+        return OverlapRecords(z, z, z, z, z, z, z, z, z, z)
+    sw = sw_fn or default_sw(cfg)
+    batch_pairs = min(batch_pairs, max(8, 1 << (len(a) - 1).bit_length()))
+
+    a_codes = unpack_codes(pr_a.packed).astype(np.int32)
+    Lq = a_codes.shape[1]
+    a_codes[np.arange(Lq)[None, :] >= pr_a.length[:, None]] = SENT_BASE
+    b_codes = unpack_codes(pr_b.packed).astype(np.int32)
+    Lb = b_codes.shape[1]
+    b_codes[np.arange(Lb)[None, :] >= pr_b.length[:, None]] = SENT_BASE
+    b_flat = b_codes.reshape(-1)
+
+    Wt = Lq + cfg.band + 8
+    outs = {k: [] for k in ("a", "b", "rel", "score", "a_start", "a_end",
+                            "b_start", "b_end")}
+    for s in range(0, len(a), batch_pairs):
+        aa = a[s : s + batch_pairs].astype(np.int64)
+        bb = b[s : s + batch_pairs].astype(np.int64)
+        rr = rel[s : s + batch_pairs].astype(np.int32)
+        dd = diag[s : s + batch_pairs].astype(np.int32)
+        nb = aa.shape[0]
+        P = batch_pairs
+        if nb < P:
+            padn = P - nb
+            aa, bb = np.pad(aa, (0, padn)), np.pad(bb, (0, padn))
+            rr, dd = np.pad(rr, (0, padn)), np.pad(dd, (0, padn))
+        la = pr_a.length[aa].astype(np.int64)
+        lb = pr_b.length[bb].astype(np.int64)
+        flip = rr == 1
+        q = a_codes[aa]
+        qidx = (la[:, None] - 1) - np.arange(Lq)[None, :]
+        q_rc = np.where(qidx >= 0,
+                        np.take_along_axis(q, np.clip(qidx, 0, Lq - 1), 1),
+                        SENT_BASE)
+        q_rc = np.where(q_rc < 4, 3 - q_rc, q_rc)
+        q = np.where(flip[:, None], q_rc, q).astype(np.int32)
+        qlen = np.where(np.arange(P) < nb, pr_a.length[aa], 0).astype(np.int32)
+        off = np.where(flip, dd + lb - la, -dd).astype(np.int64) - cfg.band // 2
+        pos_f = np.arange(Wt)[None, :] + off[:, None]
+        in_range = (pos_f >= 0) & (pos_f < lb[:, None])
+        vals = b_flat[bb[:, None] * Lb + np.clip(pos_f, 0, Lb - 1)]
+        t_win = np.where(in_range, vals, SENT_BASE).astype(np.int32)
+        tlen = np.where(np.arange(P) < nb, Wt, 0).astype(np.int32)
+
+        fwd = sw(jnp.asarray(q), jnp.asarray(t_win), jnp.asarray(qlen),
+                 jnp.asarray(tlen), cfg.band)
+        score = np.asarray(fwd.score)
+        qend = np.asarray(fwd.qend)
+        tend = np.asarray(fwd.tend)
+        qidx2 = (qend[:, None] - 1) - np.arange(Lq)[None, :]
+        qr = np.where(qidx2 >= 0,
+                      np.take_along_axis(q, np.clip(qidx2, 0, Lq - 1), 1),
+                      SENT_BASE).astype(np.int32)
+        tidx = (tend[:, None] - 1) - np.arange(Wt)[None, :]
+        tr = np.where(tidx >= 0,
+                      np.take_along_axis(t_win, np.clip(tidx, 0, Wt - 1), 1),
+                      SENT_BASE).astype(np.int32)
+        rev = sw(jnp.asarray(qr), jnp.asarray(tr),
+                 jnp.asarray(qend.astype(np.int32)),
+                 jnp.asarray(tend.astype(np.int32)), 2 * cfg.band)
+        rscore = np.asarray(rev.score)
+        q_start = qend - np.asarray(rev.qend)
+        t_start = tend - np.asarray(rev.tend)
+
+        # window -> long-read forward coords; query coords -> the read's
+        # forward frame when the read was flipped
+        b_start_f = t_start + off
+        b_end_f = tend + off
+        a_start_f = np.where(flip, la - qend, q_start)
+        a_end_f = np.where(flip, la - q_start, qend)
+        keep = ((np.arange(P) < nb)
+                & (score >= cfg.min_overlap_score)
+                & ((qend - q_start) >= cfg.min_overlap_len)
+                & (rscore >= score))
+        outs["a"].append(aa[keep].astype(np.int32))
+        outs["b"].append(bb[keep].astype(np.int32))
+        outs["rel"].append(rr[keep])
+        outs["score"].append(score[keep].astype(np.int32))
+        outs["a_start"].append(a_start_f[keep].astype(np.int32))
+        outs["a_end"].append(a_end_f[keep].astype(np.int32))
+        outs["b_start"].append(b_start_f[keep].astype(np.int32))
+        outs["b_end"].append(b_end_f[keep].astype(np.int32))
+
+    cat = {k: (np.concatenate(v) if v else np.zeros(0, np.int32))
+           for k, v in outs.items()}
+    rec = OverlapRecords(
+        a_len=pr_a.length[cat["a"]].astype(np.int32),
+        b_len=pr_b.length[cat["b"]].astype(np.int32), **cat)
+    log.info("overlap-cross: %d candidates -> %d overlaps", len(a), rec.n)
+    return rec

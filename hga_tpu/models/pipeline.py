@@ -202,13 +202,21 @@ def run_pipeline(
     if asm_reads is None:
         raise ValueError("no reads given")
 
-    # --- stage: candidates + overlaps (configs 2-3) ---
-    if st.fresh("overlaps", inputs) and os.path.exists(path("overlaps.npz")):
-        ov = OverlapRecords.load(path("overlaps.npz"))
+    # --- stage: candidates (config 2) ---
+    if st.fresh("candidates", inputs) and os.path.exists(path("candidates.npz")):
+        cands = SeedingResult.load(path("candidates.npz"))
     else:
         t0 = time.perf_counter()
         cands = find_candidates(asm_reads, cfg)
         cands.save(path("candidates.npz"))
+        st.done("candidates", t0, inputs)
+    st.stats["candidates"] = {"n": cands.n_pairs}
+
+    # --- stage: overlaps (config 3) ---
+    if st.fresh("overlaps", inputs) and os.path.exists(path("overlaps.npz")):
+        ov = OverlapRecords.load(path("overlaps.npz"))
+    else:
+        t0 = time.perf_counter()
         ov = compute_overlaps(asm_reads, cands, cfg)
         ov.save(path("overlaps.npz"))
         st.done("overlaps", t0, inputs)

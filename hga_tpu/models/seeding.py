@@ -81,6 +81,8 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
         idx = np.arange(pr.n_reads)
     B = cfg.batch_reads
     f = _minimizer_batch_fn(cfg.k, cfg.w)
+    log.info("seeding: extracting minimizers for %d reads (batch %d)",
+             len(idx), B)
     his, los, reads, poss, strands = [], [], [], [], []
     for s in range(0, len(idx), B):
         sel = idx[s : s + B]

@@ -52,7 +52,7 @@ BLK = 128  # anti-diagonals per block: aligned window loads, static inner slices
 def _sw_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
                score_ref, qend_ref, tend_ref, win_ref,
                *, band: int, Lq: int, Lt: int,
-               match: int, mismatch: int, gap: int):
+               match: int, mismatch: int, gap: int, blk: int = BLK):
     """Blocked sweep: the d-loop runs in BLK-step blocks.  Per block, one
     128-aligned dynamic slice of the (reversed, padded) target lands in the
     `win_ref` scratch; the BLK inner steps then use only STATIC slices.
@@ -67,11 +67,11 @@ def _sw_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
     # t_ext layout (built by the wrapper): t_ext[x] = t_rev[x - PADL] with
     # PADL = Lq + BLK; step d reads ts(d)[p] = t_ext[S(d) + p],
     # S(d) = PADL + Lq? no: S(d) = (Lq + Lt + 1 - d) + BLK + ... see wrapper.
-    S0 = Lq + Lt - 1 + BLK              # S(d=2), includes the extra BLK pad
-    n_blocks = pl.cdiv(Lq + Lt - 1, BLK)
-    # aligned window start for block k: a(k) = (S0+1)//BLK*BLK - (k+1)*BLK
-    A0 = ((S0 + 1) // BLK) * BLK
-    C = S0 - (A0 - BLK)                 # static in-window offset of step r=0
+    S0 = Lq + Lt - 1 + blk              # S(d=2), includes the extra blk pad
+    n_blocks = pl.cdiv(Lq + Lt - 1, blk)
+    # aligned window start for block k: a(k) = (S0+1)//blk*blk - (k+1)*blk
+    A0 = ((S0 + 1) // blk) * blk
+    C = S0 - (A0 - blk)                 # static in-window offset of step r=0
     WIN = C + Lq + 1                    # static window width needed
     WIN = ((WIN + 127) // 128) * 128
 
@@ -80,30 +80,40 @@ def _sw_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
     neg0 = jnp.minimum(q * 0 + qlen_c, NEG)       # == NEG everywhere
     D = Lq + Lt
 
+    # loop-invariant cell-validity bounds: cell (i, j) is valid iff
+    # j in [max(1, i-band), min(tlen, i+band)] and i <= qlen — j_lo/j_hi are
+    # per-slot constants, so the inner mask is two compares + an and
+    i = p_idx + 1
+    j_lo = jnp.maximum(1, i - band)
+    j_hi = jnp.where(i <= qlen_c, jnp.minimum(tlen_c, i + band), -1)
+    zcol = qlen_c * 0                              # (P,1) zero, concrete
+    ncol = zcol + NEG                              # (P,1) NEG column
+    # boundary handling: the implicit zero row/col H[0,*] = H[*,0] = 0.
+    # i==1 slots read the zero row through a pre-built first-lane mask;
+    # j==1 left/diag reads are covered because ad arrays hold 0 at j-edge
+    # cells' predecessors only when in-band — handled via the j==1 selects.
+    first_lane = p_idx == 0
+
     def block(k, carry):
         ad1, ad2, best_v, best_d = carry
-        a_k = pl.multiple_of(A0 - (k + 1) * BLK, BLK)
+        a_k = pl.multiple_of(A0 - (k + 1) * blk, blk)
         win_ref[:, :WIN] = t_ref[:, pl.ds(a_k, WIN)]
-        for r in range(BLK):
-            d = 2 + k * BLK + r
+        for r in range(blk):
+            d = 2 + k * blk + r
             ts = win_ref[:, C - r : C - r + Lq]
             sub = jnp.where(q == ts, jnp.int32(match), jnp.int32(mismatch))
-            ncol = jnp.minimum(q[:, :1] * 0 + qlen_c, NEG)
             diag_v = jnp.concatenate([ncol, ad2[:, : Lq - 1]], axis=1)
             up_v = jnp.concatenate([ncol, ad1[:, : Lq - 1]], axis=1)
             left_v = ad1
-            i = p_idx + 1
             j = d - i
-            diag_v = jnp.where((i == 1) | (j == 1), 0, diag_v)
-            up_v = jnp.where(i == 1, 0, up_v)
+            diag_v = jnp.where(first_lane | (j == 1), 0, diag_v)
+            up_v = jnp.where(first_lane, 0, up_v)
             left_v = jnp.where(j == 1, 0, left_v)
             v = jnp.maximum(
                 jnp.maximum(diag_v + sub, jnp.int32(0)),
                 jnp.maximum(up_v + jnp.int32(gap), left_v + jnp.int32(gap)),
             )
-            valid = ((i <= qlen_c) & (j <= tlen_c) & (j >= 1)
-                     & (j - i <= band) & (i - j <= band))
-            v = jnp.where(valid, v, NEG)
+            v = jnp.where((j >= j_lo) & (j <= j_hi), v, NEG)
             better = v > best_v            # strict: smallest d per cell wins
             best_d = jnp.where(better, d, best_d)
             best_v = jnp.maximum(best_v, v)
@@ -132,7 +142,7 @@ def _sw_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("band", "match", "mismatch", "gap", "pair_tile",
-                     "interpret"))
+                     "interpret", "blk"))
 def banded_sw_batch_pallas(
     q: jax.Array,     # int32 (N, Lq)
     t: jax.Array,     # int32 (N, Lt)
@@ -144,6 +154,8 @@ def banded_sw_batch_pallas(
     gap: int = -3,
     pair_tile: int = 128,
     interpret: bool = False,
+    blk: int = BLK,  # MUST stay 128 on hardware (lane-aligned window loads);
+                     # interpret-mode tests may shrink it for speed
 ) -> SWResult:
     """Pallas wavefront SW; N must be a multiple of pair_tile (callers pad).
 
@@ -159,25 +171,27 @@ def banded_sw_batch_pallas(
             f"Lq={Lq} over full-width budget {MAX_QUERY_LEN}; "
             "use banded_sw_batch")
 
+    # static window geometry (must mirror _sw_kernel)
+    S0 = Lq + Lt - 1 + blk
+    A0 = ((S0 + 1) // blk) * blk
+    C = S0 - (A0 - blk)
+    WIN = ((C + Lq + 1 + 127) // 128) * 128
+
     # reversed target, sentinel-padded so every window slice is in range:
-    # t_ext[:, (Lq + BLK) + x] = t_rev[x]; step d reads base index
-    # S(d) = (Lq + Lt + 1 - d) + BLK
+    # t_ext[:, (Lq + blk) + x] = t_rev[x]; step d reads base index
+    # S(d) = (Lq + Lt + 1 - d) + blk; the right pad must cover a full WIN
+    # slice from the largest window start A0 - blk
     t_rev = jnp.flip(t.astype(I32), axis=1)
-    t_ext = jnp.pad(t_rev, ((0, 0), (Lq + BLK, Lq + 2 * BLK)),
+    right_pad = max(0, (A0 - blk + WIN) - (Lq + blk + Lt))
+    t_ext = jnp.pad(t_rev, ((0, 0), (Lq + blk, right_pad)),
                     constant_values=-1)
     qlen2 = qlen.astype(I32).reshape(N, 1)
     tlen2 = tlen.astype(I32).reshape(N, 1)
 
-    # static window geometry (must mirror _sw_kernel)
-    S0 = Lq + Lt - 1 + BLK
-    A0 = ((S0 + 1) // BLK) * BLK
-    C = S0 - (A0 - BLK)
-    WIN = ((C + Lq + 1 + 127) // 128) * 128
-
     grid = (N // pair_tile,)
     kernel = functools.partial(
         _sw_kernel, band=band, Lq=Lq, Lt=Lt,
-        match=match, mismatch=mismatch, gap=gap)
+        match=match, mismatch=mismatch, gap=gap, blk=blk)
     out_shape = [jax.ShapeDtypeStruct((N, 1), jnp.int32)] * 3
     row_spec = lambda cols: pl.BlockSpec(
         (pair_tile, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
