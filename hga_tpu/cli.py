@@ -37,6 +37,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-reads", type=int, default=None)
     p.add_argument("--max-seed-freq", type=int, default=None)
     p.add_argument("--min-shared", type=int, default=None)
+    p.add_argument("--min-overlap-len", type=int, default=None)
+    p.add_argument("--min-overlap-score", type=int, default=None)
     p.add_argument("--solid-threshold", type=int, default=None)
     p.add_argument("--config", help="JSON config file (overridden by flags)")
     p.add_argument("--resume", action="store_true")
@@ -55,6 +57,8 @@ def _build_cfg(args) -> AssemblerConfig:
                         ("batch_reads", "batch_reads"),
                         ("max_seed_freq", "max_seed_freq"),
                         ("min_shared", "min_shared_minimizers"),
+                        ("min_overlap_len", "min_overlap_len"),
+                        ("min_overlap_score", "min_overlap_score"),
                         ("solid_threshold", "solid_threshold")]:
         v = getattr(args, flag, None)
         if v is not None:

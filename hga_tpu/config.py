@@ -35,7 +35,11 @@ class AssemblerConfig:
     match: int = 2
     mismatch: int = -4
     gap: int = -3                  # linear gap penalty (all-integer DP)
-    min_overlap_len: int = 50
+    # Minimum accepted overlap span.  Must stay well below the short-read
+    # length: with reads of length L and start rate lambda, every junction
+    # whose start gap exceeds L - min_overlap_len breaks a contig, and the
+    # break count grows exponentially in that margin.
+    min_overlap_len: int = 32
     min_identity: float = 0.70
     pair_tile: int = 8             # pairs per Pallas wavefront tile (sublanes)
     max_seq_len: int = 2048        # padded per-pair sequence capacity for DP

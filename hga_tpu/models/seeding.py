@@ -79,7 +79,9 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
     """Device minimizer selection, batch-wise; compact entries on host."""
     if idx is None:
         idx = np.arange(pr.n_reads)
-    B = cfg.batch_reads
+    # small read sets (e.g. contig backbones) must not pad up to a huge
+    # static batch; power-of-two rounding bounds the compiled shapes
+    B = min(cfg.batch_reads, max(8, 1 << (max(1, len(idx)) - 1).bit_length()))
     f = _minimizer_batch_fn(cfg.k, cfg.w)
     log.info("seeding: extracting minimizers for %d reads (batch %d)",
              len(idx), B)
