@@ -10,6 +10,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> int:
     coordinator, n_procs, rank, outdir = sys.argv[1:5]
