@@ -379,3 +379,37 @@ def pileup_consensus(
     best = votes.argmax(axis=1)  # ties -> lower symbol id (A<C<G<T<del)
     best = np.where(depth >= min_depth, best, np.asarray(backbone, dtype=np.int64))
     return best[best != 4].astype(np.uint8), best.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# bit-parallel overlap DP (L3, Myers engine) — unit-cost semi-global oracle
+# ---------------------------------------------------------------------------
+
+def edit_distance_hw(q, t) -> Tuple[int, int]:
+    """Semi-global (infix / edlib-"HW") unit-cost edit distance.
+
+    The whole query aligns somewhere inside the target: D[i][0] = i,
+    D[0][j] = 0; returns (min_j D[m][j], argmin j) with the SMALLEST j
+    breaking ties.  This is the semantic reference for ops/myers.py — the
+    TPU-native replacement for the reference's scalar alignment loops on the
+    overlap-extension path (SURVEY.md C9; scores gate overlap acceptance, so
+    unit-cost distance + end positions carry the same information as SW
+    score for overlap detection, at ~30x the per-cell device throughput).
+    """
+    q = np.asarray(q, dtype=np.int64)
+    t = np.asarray(t, dtype=np.int64)
+    m, n = len(q), len(t)
+    if m == 0:
+        return 0, 0
+    prev = np.arange(m + 1, dtype=np.int64)  # column j=0
+    best, best_j = int(prev[m]), 0
+    for j in range(1, n + 1):
+        cur = np.empty(m + 1, np.int64)
+        cur[0] = 0
+        sub = (q != t[j - 1]).astype(np.int64)
+        for i in range(1, m + 1):
+            cur[i] = min(prev[i - 1] + sub[i - 1], prev[i] + 1, cur[i - 1] + 1)
+        if int(cur[m]) < best:
+            best, best_j = int(cur[m]), j
+        prev = cur
+    return best, best_j
