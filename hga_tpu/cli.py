@@ -240,7 +240,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("bench")
-    p.add_argument("--what", default="sw", choices=["sw", "count", "pipeline", "scaling"])
+    p.add_argument("--what", default="myers",
+                   choices=["myers", "sw", "count", "pipeline", "scaling"])
     p.add_argument("--pairs", type=int, default=4096)
     p.set_defaults(fn=cmd_bench)
 
@@ -248,6 +249,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     logging.basicConfig(
         level=logging.DEBUG if getattr(args, "verbose", False) else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    # multi-host entry (SURVEY.md §3.2): no-op unless JAX_COORDINATOR /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID are set in the environment, in
+    # which case every `hga` process joins the global mesh before any stage
+    # touches a device
+    from hga_tpu.parallel.mesh import init_distributed
+
+    init_distributed()
     if getattr(args, "profile", None):
         import jax
 

@@ -40,9 +40,10 @@ class AssemblerConfig:
     # whose start gap exceeds L - min_overlap_len breaks a contig, and the
     # break count grows exponentially in that margin.
     min_overlap_len: int = 32
+    # Overlap acceptance identity: the Myers gate keeps a candidate iff
+    # edit_distance / segment_len <= 1 - min_identity over the expected
+    # overlap segment (models/overlap.py).
     min_identity: float = 0.70
-    pair_tile: int = 8             # pairs per Pallas wavefront tile (sublanes)
-    max_seq_len: int = 2048        # padded per-pair sequence capacity for DP
 
     # --- graph layer (L4) ---
     min_overlap_score: int = 40
@@ -53,8 +54,11 @@ class AssemblerConfig:
     min_contig_len: int = 0        # drop shorter contigs (0 = keep all)
 
     # --- correction / consensus layer (L5) ---
-    polish_window: int = 256       # contig window length for pileup polishing
     min_pileup_depth: int = 2
+    # Restrict seeds to SOLID k-mers (spectrum count >= threshold) where a
+    # spectrum is available — the reference's discriminative-k-mer mechanism
+    # (SURVEY.md C5/C12): error k-mers stop generating candidate pairs.
+    use_solid_seeds: bool = True
 
     # --- orchestration (L6) ---
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices
@@ -72,9 +76,13 @@ class AssemblerConfig:
     @staticmethod
     def from_json(s: str) -> "AssemblerConfig":
         d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(AssemblerConfig)}
+        d = {k: v for k, v in d.items() if k in known}
         if d.get("mesh_shape") is not None:
             d["mesh_shape"] = tuple(d["mesh_shape"])
         d["mesh_axes"] = tuple(d.get("mesh_axes", ("data",)))
+        if "min_identity" in d:
+            d["min_identity"] = float(d["min_identity"])
         return AssemblerConfig(**d)
 
     def replace(self, **kw) -> "AssemblerConfig":

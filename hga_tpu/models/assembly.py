@@ -232,16 +232,26 @@ class AssemblyResult:
     n_edges_raw: int
     n_edges_reduced: int
     n_contained: int
+    # surviving string-graph edges as (u, v, overlap_len) oriented-node
+    # triples — the GFA L records (SURVEY.md Appendix A "GFA1 optional")
+    edges: List[Tuple[int, int, int]] = dataclasses.field(default_factory=list)
 
     def save_fasta(self, path: str) -> None:
         from hga_tpu.io.fastq import write_fasta
 
         write_fasta(path, self.contigs)
 
-    def to_gfa(self, read_names: List[str], read_lens: np.ndarray) -> str:
+    def to_gfa(self, read_names: List[str], read_lens: np.ndarray,
+               read_seqs: Optional[List[str]] = None) -> str:
+        """GFA1 with S (optionally with sequence), L (overlap) and P lines."""
         lines = ["H\tVN:Z:1.0"]
         for i, n in enumerate(read_names):
-            lines.append(f"S\t{n}\t*\tLN:i:{int(read_lens[i])}")
+            seq = read_seqs[i] if read_seqs is not None else "*"
+            lines.append(f"S\t{n}\t{seq}\tLN:i:{int(read_lens[i])}")
+        for u, v, olap in self.edges:
+            lines.append(
+                f"L\t{read_names[u // 2]}\t{'+-'[u % 2]}"
+                f"\t{read_names[v // 2]}\t{'+-'[v % 2]}\t{max(olap, 0)}M")
         for p_i, path in enumerate(self.paths):
             segs = ",".join(
                 f"{read_names[n // 2]}{'+-'[n % 2]}" for n in path)
@@ -303,9 +313,12 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
 
     log.info("assembly: %d contigs (N=%s)", len(contigs),
              sorted((len(s) for _, s in contigs), reverse=True)[:5])
+    l_edges = [(u, v, int(pr.length[v // 2]) - e)
+               for (u, v), e in sorted(ext_of.items())]
     return AssemblyResult(
         contigs=contigs, paths=kept_paths,
         n_edges_raw=int(g.u.size),
         n_edges_reduced=int(np.sum(keep)) if g.u.size else 0,
         n_contained=int(g.contained.sum()),
+        edges=l_edges,
     )

@@ -10,9 +10,11 @@ The reference does this as per-read scalar DP + per-column counting loops
 (SURVEY.md C12/C13); here every batch of (short read x backbone window)
 alignments runs as one device wavefront sweep and one scatter-add.
 
-Round-1 scope: substitution + deletion consensus (insertions in the backbone
-are voted via symbol 4 and removed; bases the short reads insert relative to
-the backbone are not yet added — noted for the next round).
+Consensus covers substitutions, deletions (backbone columns voted out via
+symbol 4) and insertions: bases the short reads carry relative to the
+backbone (dir=2 'up' moves, the dominant nanopore deletion error) are voted
+into up-to-3-base insertion slots per column and restored when a majority of
+covering reads agrees.
 """
 
 from __future__ import annotations
@@ -39,14 +41,30 @@ log = logging.getLogger(__name__)
 _DEBUG_SINK: Optional[dict] = None
 
 
+def _solid_mask(hi: np.ndarray, lo: np.ndarray, solid) -> np.ndarray:
+    """Membership of seed k-mers in the solid set (device sorted-merge)."""
+    from hga_tpu.ops.count import member_sorted
+
+    s_hi, s_lo = solid
+    return np.asarray(member_sorted(
+        jnp.asarray(s_hi.astype(np.uint32)), jnp.asarray(s_lo.astype(np.uint32)),
+        jnp.asarray(hi.astype(np.uint32)), jnp.asarray(lo.astype(np.uint32))))
+
+
 def find_candidates_cross(
     pr_a: PackedReads, pr_b: PackedReads, cfg: AssemblerConfig,
     pair_cap: Optional[int] = None,
+    solid=None,
 ):
     """Candidates between two read sets (a ids first, b ids offset by |a|).
 
     Returns a SeedingResult-like tuple of host arrays (a, b, rel, diag) with
     `a` indexing pr_a and `b` indexing pr_b.
+
+    solid: optional (hi, lo) arrays of solid k-mers (SpectrumResult
+    .solid_set()); when given, only solid-k-mer seeds generate candidates —
+    the reference drives its read connection with discriminative k-mers the
+    same way (SURVEY.md C5/C12, §1.1 ReadClusteringEngine).
     """
     ea = extract_seed_entries(pr_a, cfg)
     eb = extract_seed_entries(pr_b, cfg)
@@ -60,6 +78,13 @@ def find_candidates_cross(
     category = np.concatenate(
         [np.zeros(na, np.int32), np.ones(pr_b.n_reads, np.int32)])
 
+    if solid is not None and cfg.use_solid_seeds:
+        keep = _solid_mask(hi, lo, solid)
+        log.info("correction: %d/%d seeds are solid", int(keep.sum()),
+                 keep.size)
+        hi = np.where(keep, hi, np.uint32(0xFFFFFFFF))
+        lo = np.where(keep, lo, np.uint32(0xFFFFFFFF))
+
     N = hi.shape[0]
     Np = ((max(N, 16) + 1023) // 1024) * 1024
     pad = Np - N
@@ -70,16 +95,17 @@ def find_candidates_cross(
     strand = np.pad(strand, (0, pad))
     if pair_cap is None:
         pair_cap = max(64, 16 * pr_a.n_reads)
-    while True:
-        cp = OP.candidate_pairs(
-            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(read),
-            jnp.asarray(pos), jnp.asarray(strand), jnp.asarray(read_len),
-            jnp.asarray(category), k=cfg.k, max_freq=cfg.max_seed_freq,
-            min_shared=cfg.min_shared_minimizers, pair_cap=pair_cap,
-            mode="cross")
-        if int(cp.overflow) == 0:
-            break
-        pair_cap *= 4
+    run = lambda cap: OP.candidate_pairs(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(read),
+        jnp.asarray(pos), jnp.asarray(strand), jnp.asarray(read_len),
+        jnp.asarray(category), k=cfg.k, max_freq=cfg.max_seed_freq,
+        min_shared=cfg.min_shared_minimizers, pair_cap=cap,
+        mode="cross")
+    cp = run(pair_cap)
+    if int(cp.overflow) > 0:
+        # two-pass count -> allocate -> fill (see models/seeding.py)
+        need = int(cp.n) + int(cp.overflow)
+        cp = run(1 << max(6, (need - 1).bit_length()))
     n = int(cp.n)
     a = np.asarray(cp.a)[:n]
     b = np.asarray(cp.b)[:n] - na
@@ -88,7 +114,9 @@ def find_candidates_cross(
 
 
 def _traceback_votes(dirs, qend, tend, band, Lt, q_codes):
-    """Vectorized host traceback over a pair batch.
+    """Host traceback — kept ONLY as the test oracle for the device path
+    (ops.pileup.traceback_columns / accumulate_backbone_votes); production
+    correction never calls it.
 
     dirs: int8 (D, P, W) from banded_sw_batch_dirs; returns
     (pid, col, sym, ins_pid, ins_col, ins_base):
@@ -150,21 +178,81 @@ def _traceback_votes(dirs, qend, tend, band, Lt, q_codes):
             cat(ins_pid), cat(ins_col), cat(ins_base), cat(ins_slot))
 
 
+def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
+                       nb: int, Lpad: int, ins_slots: int, mesh=None):
+    """One fused device step: dirs DP -> traceback -> vote scatter.
+
+    Single device: the carried vote tensors are donated and updated in
+    place.  On a mesh, pairs shard over 'data'; each chip scatters into its
+    own replica and a psum merges them (SURVEY.md §3.2) — the carried
+    tensors stay replicated.
+    """
+    band = cfg.band
+
+    def single(votes, ins_votes, q, t, ql, tl, bb, off, lb):
+        res, dirs = banded_sw_batch_dirs(
+            q, t, ql, tl, band=band, match=cfg.match,
+            mismatch=cfg.mismatch, gap=cfg.gap)
+        qend_m = jnp.where(res.score >= min_score, res.qend, 0)
+        return PU.accumulate_backbone_votes(
+            votes, ins_votes, dirs, qend_m, res.tend, q, bb, off, lb,
+            band=band, Lt=Wt, ins_slots=ins_slots)
+
+    if mesh is None or mesh.devices.size <= 1:
+        return single
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # pragma: no cover - newer jax
+        from jax import shard_map
+
+    ndev = mesh.devices.size
+
+    def local(q, t, ql, tl, bb, off, lb):
+        res, dirs = banded_sw_batch_dirs(
+            q, t, ql, tl, band=band, match=cfg.match,
+            mismatch=cfg.mismatch, gap=cfg.gap)
+        qend_m = jnp.where(res.score >= min_score, res.qend, 0)
+        v0 = jnp.zeros((nb, Lpad, PU.N_SYM), jnp.int32)
+        i0 = jnp.zeros((nb, Lpad, ins_slots, 4), jnp.int32)
+        v, iv = PU.accumulate_backbone_votes(
+            v0, i0, dirs, qend_m, res.tend, q, bb, off, lb,
+            band=band, Lt=Wt, ins_slots=ins_slots)
+        return jax.lax.psum(v, "data"), jax.lax.psum(iv, "data")
+
+    sharded = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P("data"),) * 7,
+        out_specs=(P(), P()), check_rep=False))
+
+    def step(votes, ins_votes, q, t, ql, tl, bb, off, lb):
+        if q.shape[0] % ndev:
+            return single(votes, ins_votes, q, t, ql, tl, bb, off, lb)
+        v, iv = sharded(q, t, ql, tl, bb, off, lb)
+        return votes + v, ins_votes + iv
+
+    return step
+
+
 def consensus_backbones(
     backbones: PackedReads,
     reads: PackedReads,
     cfg: AssemblerConfig,
     batch_pairs: int = 1024,
     min_score: Optional[int] = None,
+    mesh=None,
+    solid=None,
 ) -> List[str]:
     """Correct every backbone by short-read pileup consensus (device DP +
-    device scatter votes); returns corrected sequences."""
+    device traceback + device scatter votes); returns corrected sequences."""
     nb = backbones.n_reads
     Lpad = backbones.pad_len
     if min_score is None:
         min_score = cfg.min_overlap_score
 
-    a, b, rel, diag = find_candidates_cross(reads, backbones, cfg)
+    a, b, rel, diag = find_candidates_cross(reads, backbones, cfg,
+                                            solid=solid)
     log.info("correction: %d read->backbone candidates for %d backbones",
              len(a), nb)
     batch_pairs = min(batch_pairs,
@@ -179,11 +267,13 @@ def consensus_backbones(
     b_codes_fwd[pastb] = SENT_BASE
 
     Wt = Lq + cfg.band + 8
-    votes = np.zeros((nb, Lpad, PU.N_SYM), np.int32)
+    # device-resident vote tensors, updated in place (donated) per batch
+    votes = jnp.zeros((nb, Lpad, PU.N_SYM), jnp.int32)
     # ins_votes[b, col, s, base]: base inserted after col, s-th from the end
     # of the insertion run (restores up to INS_SLOTS-base deletions per pass)
     INS_SLOTS = 3
-    ins_votes = np.zeros((nb, Lpad, INS_SLOTS, 4), np.int32)
+    ins_votes = jnp.zeros((nb, Lpad, INS_SLOTS, 4), jnp.int32)
+    step = _consensus_step_fn(cfg, min_score, Wt, nb, Lpad, INS_SLOTS, mesh)
 
     for s in range(0, len(a), batch_pairs):
         aa = a[s : s + batch_pairs].astype(np.int64)
@@ -224,30 +314,17 @@ def consensus_backbones(
         vals = b_flat[bb[:, None] * Lpad + np.clip(pos_f, 0, Lpad - 1)]
         t_win = np.where(in_range, vals, SENT_BASE).astype(np.int32)
         tlen = np.where(np.arange(P) < nbatch, Wt, 0).astype(np.int32)
-        res, dirs = banded_sw_batch_dirs(
-            jnp.asarray(q), jnp.asarray(t_win), jnp.asarray(qlen),
-            jnp.asarray(tlen), band=cfg.band, match=cfg.match,
-            mismatch=cfg.mismatch, gap=cfg.gap)
-        score = np.asarray(res.score)
-        qend = np.asarray(res.qend)
-        tend = np.asarray(res.tend)
-        keep = score >= min_score
-        qend = np.where(keep, qend, 0)
-        pid, col_win, sym, ipid, icol, ibase, islot = _traceback_votes(
-            np.asarray(dirs), qend, tend, cfg.band, Wt, q)
-        # window col -> forward backbone col (windows are forward-frame now)
-        col_fwd = col_win + off[pid]
-        lbp = lb[pid]
-        valid = (col_fwd >= 0) & (col_fwd < lbp)
-        np.add.at(votes, (bb[pid[valid]], col_fwd[valid], sym[valid]), 1)
-        icol_fwd = icol + off[ipid]
-        ilb = lb[ipid]
-        ivalid = (icol_fwd >= 0) & (icol_fwd < ilb) & (islot < INS_SLOTS)
-        np.add.at(
-            ins_votes,
-            (bb[ipid[ivalid]], icol_fwd[ivalid], islot[ivalid],
-             ibase[ivalid]), 1)
+        # entire DP + traceback + vote scatter stays on device: the
+        # (D, P, W) dirs tensor never crosses to host (SURVEY.md L5)
+        votes, ins_votes = step(
+            votes, ins_votes, jnp.asarray(q), jnp.asarray(t_win),
+            jnp.asarray(qlen), jnp.asarray(tlen),
+            jnp.asarray(bb.astype(np.int32)),
+            jnp.asarray(off.astype(np.int32)),
+            jnp.asarray(lb.astype(np.int32)))
 
+    votes = np.asarray(votes)
+    ins_votes = np.asarray(ins_votes)
     if _DEBUG_SINK is not None:  # observability hook for tests/debugging
         _DEBUG_SINK.update(votes=votes, ins_votes=ins_votes)
 
@@ -282,7 +359,10 @@ def consensus_backbones(
 
 def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
                        cfg: AssemblerConfig, **kw) -> PackedReads:
-    """Config-5 first half: hybrid error correction of long reads."""
+    """Config-5 first half: hybrid error correction of long reads.
+
+    Accepts consensus_backbones kwargs (mesh=..., min_score=...).
+    """
     corrected = consensus_backbones(pr_long, pr_short, cfg, **kw)
     # inserted bases can push a read past the original pad — re-derive it
     pad = max(pr_long.pad_len,

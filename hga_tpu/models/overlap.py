@@ -1,17 +1,24 @@
-"""Stage 3 (judged config 3) — banded SW overlap extension over candidates.
+"""Stage 3 (judged config 3) — overlap extension over candidate pairs.
 
-Pipeline: candidate pairs (stage 2) -> per-pair banded wavefront DP on device
-(ops.align / ops.align_pallas) -> PAF-shaped overlap records.
+Two-pass TPU-first engine (replacing the reference's per-pair scalar DP,
+SURVEY.md §4.2):
 
-The band is centered by construction: the target read is re-oriented (reverse
-complement when rel=1) and shifted by the candidate's estimated diagonal, so
-the DP always runs with its band around the main diagonal — the reference
-instead re-anchors its scalar DP per seed chain (SURVEY.md §4.2).
+1. **Myers gate** (the throughput path): every candidate's expected overlap
+   segment — derived from the seed diagonal — runs through the bit-parallel
+   semi-global edit-distance kernel (ops.myers_pallas on TPU, 31 cells per
+   int32 op per lane, UNBANDED so indel drift cannot silently fall out of a
+   band).  Acceptance is a maximum edit rate over the segment:
+   dist <= (1 - cfg.min_identity) * segment_len.
+2. **Scored SW refine** on the survivors only: the banded wavefront kernel
+   (ops.align / ops.align_pallas) computes exact scores + end coordinates;
+   a reversed pass on the matched prefixes gives start coordinates
+   (end-then-start trick).  Since the gate kills the false candidates, the
+   scored pass runs on a small fraction of the pairs.
 
-Start coordinates come from a second, reversed DP pass on the matched
-prefixes (standard end-then-start trick), keeping the kernel score-only and
-traceback-free; base-level CIGARs are only materialized where correction
-needs them (models/correction.py).
+The band is centered by construction: the target is re-oriented (reverse
+complement when rel=1) and shifted by the candidate's estimated diagonal.
+Base-level CIGARs are only materialized where correction needs them
+(models/correction.py).
 """
 
 from __future__ import annotations
@@ -27,17 +34,16 @@ import numpy as np
 from hga_tpu.config import AssemblerConfig
 from hga_tpu.io.encode import PackedReads, unpack_codes
 from hga_tpu.models.seeding import SeedingResult
-from hga_tpu.ops.align import banded_sw_batch
+from hga_tpu.ops.align import SWResult, banded_sw_batch
 
 log = logging.getLogger(__name__)
 
 SENT_BASE = 4  # padding base code: never matches a real base 0..3
 
 
-def default_sw(cfg: "AssemblerConfig"):
-    """Score-only SW dispatch: the Pallas wavefront kernel on TPU for
-    short-query shapes, the XLA implementation elsewhere (CPU tests, long
-    queries over the full-width budget)."""
+def _sw_inner(cfg: "AssemblerConfig", band: int):
+    """Single-shard SW dispatch (pallas on TPU, XLA elsewhere); shapes are
+    known at trace time so the choice is static per compiled shape."""
     import jax as _jax
 
     from hga_tpu.ops.align_pallas import (MAX_QUERY_LEN,
@@ -45,7 +51,7 @@ def default_sw(cfg: "AssemblerConfig"):
 
     plat = _jax.devices()[0].platform
 
-    def sw(q, t, ql, tl, band):
+    def inner(q, t, ql, tl):
         N, Lq = q.shape
         if plat in ("tpu", "axon") and Lq <= MAX_QUERY_LEN and N % 8 == 0:
             tile = 128 if N % 128 == 0 else 8
@@ -58,7 +64,55 @@ def default_sw(cfg: "AssemblerConfig"):
         return banded_sw_batch(q, t, ql, tl, band=band, match=cfg.match,
                                mismatch=cfg.mismatch, gap=cfg.gap)
 
+    return inner
+
+
+def default_sw(cfg: "AssemblerConfig", mesh=None):
+    """Score-only SW dispatch.  With a >1-device mesh the pair batch is
+    shard_map'ed over the 'data' axis — each chip sweeps its share of pairs
+    with the same kernel (embarrassingly parallel, no collectives needed;
+    SURVEY.md §3.1 data-parallel row)."""
+    from hga_tpu.parallel.mesh import shard_batch_fn
+
+    cache = {}
+
+    def sw(q, t, ql, tl, band):
+        if band not in cache:
+            cache[band] = shard_batch_fn(mesh, _sw_inner(cfg, band),
+                                         n_in=4, out_axes=SWResult)
+        return cache[band](q, t, ql, tl)
+
     return sw
+
+
+def _edit_inner():
+    import jax as _jax
+
+    from hga_tpu.ops.myers import myers_batch
+    from hga_tpu.ops.myers_pallas import (MAX_QUERY_LEN as MAX_MYERS_LEN,
+                                          myers_batch_pallas)
+
+    plat = _jax.devices()[0].platform
+
+    def inner(q, t, ql, tl):
+        N, Lq = q.shape
+        if plat in ("tpu", "axon") and Lq <= MAX_MYERS_LEN and N % 1024 == 0:
+            try:
+                return myers_batch_pallas(q, t, ql, tl)
+            except Exception as e:  # pragma: no cover - compiler fallback
+                log.warning("pallas Myers fallback to XLA: %s", str(e)[:200])
+        return myers_batch(q, t, ql, tl)
+
+    return inner
+
+
+def default_edit(cfg: "AssemblerConfig", mesh=None):
+    """Edit-distance dispatch for the overlap gate (see default_sw for the
+    mesh data-parallel behavior)."""
+    from hga_tpu.ops.myers import MyersResult
+    from hga_tpu.parallel.mesh import shard_batch_fn
+
+    return shard_batch_fn(mesh, _edit_inner(), n_in=4, out_axes=MyersResult)
 
 
 @dataclasses.dataclass
@@ -66,7 +120,9 @@ class OverlapRecords:
     """PAF-shaped overlaps (SURVEY.md Appendix A).
 
     Coordinates are 0-based half-open in each read's FORWARD frame; rel=1
-    means b maps reverse-complemented.  score is the DP score (all-integer).
+    means b maps reverse-complemented.  score is the DP score (all-integer);
+    dist is the gate's unit-cost edit distance over the expected overlap
+    segment (identity ~= 1 - dist / block_len).
     """
 
     a: np.ndarray
@@ -79,10 +135,21 @@ class OverlapRecords:
     b_end: np.ndarray
     a_len: np.ndarray
     b_len: np.ndarray
+    dist: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.dist is None:
+            self.dist = np.zeros(self.a.shape[0], np.int32)
 
     @property
     def n(self) -> int:
         return int(self.a.shape[0])
+
+    def identity(self) -> np.ndarray:
+        """Per-record alignment identity estimate from the gate distance."""
+        blk = np.maximum(np.maximum(self.a_end - self.a_start,
+                                    self.b_end - self.b_start), 1)
+        return np.clip(1.0 - self.dist / blk, 0.0, 1.0)
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, **dataclasses.asdict(self))
@@ -95,28 +162,34 @@ class OverlapRecords:
     def to_paf(self, names_a, names_b) -> str:
         lines = []
         for i in range(self.n):
+            blk = max(int(self.a_end[i] - self.a_start[i]),
+                      int(self.b_end[i] - self.b_start[i]))
+            matches = max(blk - int(self.dist[i]), 0)
             lines.append("\t".join(map(str, [
                 names_a[self.a[i]], self.a_len[i], self.a_start[i], self.a_end[i],
                 "+-"[int(self.rel[i])],
                 names_b[self.b[i]], self.b_len[i], self.b_start[i], self.b_end[i],
-                self.score[i],
-                max(int(self.a_end[i] - self.a_start[i]),
-                    int(self.b_end[i] - self.b_start[i])),
-                255,
+                matches, blk, 255,
+                f"NM:i:{int(self.dist[i])}",
+                f"AS:i:{int(self.score[i])}",
+                f"de:f:{int(self.dist[i]) / max(blk, 1):.4f}",
             ])))
         return "\n".join(lines) + ("\n" if lines else "")
 
 
 def _oriented_codes(codes: np.ndarray, lengths: np.ndarray,
                     flip: np.ndarray) -> np.ndarray:
-    """Reverse-complement rows where flip, respecting true lengths."""
+    """Reverse-complement rows where flip, respecting true lengths.
+
+    Fully vectorized (one gather + selects) — no per-read host loop.
+    """
     n, L = codes.shape
-    out = codes.copy()
-    for i in np.nonzero(flip)[0]:
-        l = int(lengths[i])
-        out[i, :l] = 3 - codes[i, :l][::-1]
-        out[i, l:] = SENT_BASE
-    return out
+    idx = (lengths.astype(np.int64)[:, None] - 1) - np.arange(L)[None, :]
+    rc = np.where(idx >= 0,
+                  np.take_along_axis(codes, np.clip(idx, 0, L - 1), 1),
+                  SENT_BASE)
+    rc = np.where(rc < 4, 3 - rc, SENT_BASE)
+    return np.where(flip[:, None], rc, codes).astype(codes.dtype)
 
 
 def _window_gather(codes_b: np.ndarray, lengths_b: np.ndarray,
@@ -131,23 +204,55 @@ def _window_gather(codes_b: np.ndarray, lengths_b: np.ndarray,
     return out
 
 
+def _myers_gate(q, la, lb, diag, t_gather, nb, cfg, edit, Wt):
+    """Edit-distance gate over one candidate batch.
+
+    q: (P, Lq) ORIENTED query codes (SENT past length); diag: expected
+    a_pos - b_pos in the oriented frames.  The expected overlap segment of a
+    is [max(0, diag), min(la, lb + diag)); it is clipped out of q and run
+    through the UNBANDED bit-parallel edit-distance engine against a target
+    window with band/2 slack on each side.  Accept iff the segment is long
+    enough and dist <= (1 - min_identity) * segment_len.
+
+    Returns (keep, dist, seg_len, q_seg_start).
+    """
+    P, Lq = q.shape
+    qs = np.clip(diag, 0, la)
+    qe = np.maximum(np.minimum(la, lb + diag), qs)
+    seg = (qe - qs).astype(np.int64)
+    x = np.arange(Lq)[None, :]
+    gidx = x + qs[:, None]
+    q_seg = np.where(x < seg[:, None],
+                     np.take_along_axis(q, np.clip(gidx, 0, Lq - 1), 1),
+                     SENT_BASE).astype(np.int32)
+    off_m = qs - diag - cfg.band // 2
+    t_m = t_gather(off_m)
+    res = edit(jnp.asarray(q_seg), jnp.asarray(t_m),
+               jnp.asarray(seg.astype(np.int32)),
+               jnp.asarray(np.full(P, Wt, np.int32)))
+    dist = np.asarray(res.dist).astype(np.int64)
+    max_ed = np.floor((1.0 - cfg.min_identity) * seg).astype(np.int64)
+    keep = ((np.arange(P) < nb)
+            & (seg >= cfg.min_overlap_len)
+            & (dist <= max_ed))
+    return keep, dist, seg, qs
+
+
 def compute_overlaps(
     pr: PackedReads,
     cands: SeedingResult,
     cfg: AssemblerConfig,
     sw_fn=None,
+    edit_fn=None,
     batch_pairs: int = 4096,
+    mesh=None,
 ) -> OverlapRecords:
-    """Run banded DP on every candidate; keep overlaps above thresholds."""
+    """Two-pass overlap engine: Myers edit-rate gate, then SW refine."""
     if cands.n_pairs == 0:
         z = np.zeros(0, np.int32)
         return OverlapRecords(z, z, z, z, z, z, z, z, z, z)
-    sw = sw_fn or default_sw(cfg)
-
-    # don't pad a small candidate list up to a huge static batch; round to a
-    # power of two so the number of distinct compiled shapes stays bounded
-    batch_pairs = min(batch_pairs,
-                      max(8, 1 << (cands.n_pairs - 1).bit_length()))
+    sw = sw_fn or default_sw(cfg, mesh)
+    edit = edit_fn or default_edit(cfg, mesh)
 
     codes = unpack_codes(pr.packed).astype(np.int32)  # (R, pad_len)
     # mask bases past each read's length so they can never match
@@ -158,14 +263,55 @@ def compute_overlaps(
 
     Lq = Lpad
     Wt = Lq + cfg.band + 8
-    outs = {k: [] for k in ("a", "b", "rel", "score", "a_start", "a_end",
-                            "b_start", "b_end")}
 
-    for s in range(0, cands.n_pairs, batch_pairs):
-        a = cands.a[s : s + batch_pairs].astype(np.int64)
-        b = cands.b[s : s + batch_pairs].astype(np.int64)
-        rel = cands.rel[s : s + batch_pairs].astype(np.int32)
-        diag = cands.diag[s : s + batch_pairs].astype(np.int32)
+    # ---- pass 1: bit-parallel Myers gate over EVERY candidate ----
+    # don't pad a small candidate list up to a huge static batch; round to a
+    # power of two so the number of distinct compiled shapes stays bounded
+    bp = min(batch_pairs, max(8, 1 << (cands.n_pairs - 1).bit_length()))
+    g_keep, g_dist = [], []
+    for s in range(0, cands.n_pairs, bp):
+        a = cands.a[s : s + bp].astype(np.int64)
+        b = cands.b[s : s + bp].astype(np.int64)
+        rel = cands.rel[s : s + bp].astype(np.int32)
+        diag = cands.diag[s : s + bp].astype(np.int64)
+        nb = a.shape[0]
+        if nb < bp:
+            padn = bp - nb
+            a, b = np.pad(a, (0, padn)), np.pad(b, (0, padn))
+            rel, diag = np.pad(rel, (0, padn)), np.pad(diag, (0, padn))
+        la = lengths[a].astype(np.int64)
+        lb = lengths[b].astype(np.int64)
+        t_or = _oriented_codes(codes[b], lengths[b], rel == 1)
+        gather = lambda off: _window_gather(t_or, lb, off, Wt)
+        keep, dist, _seg, _qs = _myers_gate(
+            codes[a], la, lb, diag, gather, nb, cfg, edit, Wt)
+        g_keep.append(keep[:nb])
+        g_dist.append(dist[:nb])
+    keep_all = np.concatenate(g_keep)
+    dist_all = np.concatenate(g_dist)
+    f_a = cands.a[keep_all].astype(np.int64)
+    f_b = cands.b[keep_all].astype(np.int64)
+    f_rel = cands.rel[keep_all].astype(np.int32)
+    f_diag = cands.diag[keep_all].astype(np.int32)
+    f_dist = dist_all[keep_all].astype(np.int32)
+    n_f = f_a.shape[0]
+    log.info("overlap gate: %d candidates -> %d pass edit-rate filter",
+             cands.n_pairs, n_f)
+    if n_f == 0:
+        z = np.zeros(0, np.int32)
+        return OverlapRecords(z, z, z, z, z, z, z, z, z, z)
+
+    # ---- pass 2: scored SW refine on survivors (coords + score) ----
+    batch_pairs = min(batch_pairs, max(8, 1 << (n_f - 1).bit_length()))
+    outs = {k: [] for k in ("a", "b", "rel", "score", "a_start", "a_end",
+                            "b_start", "b_end", "dist")}
+
+    for s in range(0, n_f, batch_pairs):
+        a = f_a[s : s + batch_pairs]
+        b = f_b[s : s + batch_pairs]
+        rel = f_rel[s : s + batch_pairs]
+        diag = f_diag[s : s + batch_pairs]
+        dist = f_dist[s : s + batch_pairs]
         nb = a.shape[0]
         P = batch_pairs
         if nb < P:  # pad the tail batch
@@ -174,6 +320,7 @@ def compute_overlaps(
             b = np.pad(b, (0, padn))
             rel = np.pad(rel, (0, padn))
             diag = np.pad(diag, (0, padn))
+            dist = np.pad(dist, (0, padn))
 
         q = codes[a]
         qlen = np.where(np.arange(P) < nb, lengths[a], 0).astype(np.int32)
@@ -232,6 +379,7 @@ def compute_overlaps(
         outs["a_end"].append(qend[keep].astype(np.int32))
         outs["b_start"].append(b_fwd_start[keep].astype(np.int32))
         outs["b_end"].append(b_fwd_end[keep].astype(np.int32))
+        outs["dist"].append(dist[keep].astype(np.int32))
 
     cat = {k: (np.concatenate(v) if v else np.zeros(0, np.int32))
            for k, v in outs.items()}
@@ -246,18 +394,21 @@ def compute_overlaps_cross(
     pr_b: PackedReads,
     cfg: AssemblerConfig,
     sw_fn=None,
+    edit_fn=None,
     batch_pairs: int = 4096,
+    mesh=None,
 ) -> OverlapRecords:
     """Judged config 3: overlaps BETWEEN two read sets (short reads as
     queries `a`, long reads as targets `b`).
 
     The reference queries its short-read index with each long read
     (SURVEY.md §4.2); here the cross-category candidates come from the
-    merged sorted minimizer index and each candidate aligns the short read
-    against a band-centered window of the long read — same wavefront kernel,
-    same coordinate conventions as the all-vs-all path (b coordinates in the
-    long read's forward frame; the READ is reverse-complemented for rel=1 so
-    alignments share the target's forward context).
+    merged sorted minimizer index and each candidate runs the same two-pass
+    engine as compute_overlaps: bit-parallel Myers edit-rate gate, then the
+    banded wavefront kernel on survivors for exact scores/coordinates
+    (b coordinates in the long read's forward frame; the READ is
+    reverse-complemented for rel=1 so alignments share the target's forward
+    context).
     """
     from hga_tpu.models.correction import find_candidates_cross
 
@@ -265,8 +416,8 @@ def compute_overlaps_cross(
     if len(a) == 0:
         z = np.zeros(0, np.int32)
         return OverlapRecords(z, z, z, z, z, z, z, z, z, z)
-    sw = sw_fn or default_sw(cfg)
-    batch_pairs = min(batch_pairs, max(8, 1 << (len(a) - 1).bit_length()))
+    sw = sw_fn or default_sw(cfg, mesh)
+    edit = edit_fn or default_edit(cfg, mesh)
 
     a_codes = unpack_codes(pr_a.packed).astype(np.int32)
     Lq = a_codes.shape[1]
@@ -277,35 +428,76 @@ def compute_overlaps_cross(
     b_flat = b_codes.reshape(-1)
 
     Wt = Lq + cfg.band + 8
+
+    def _b_gather(bb, lb, off):
+        pos_f = np.arange(Wt)[None, :] + off[:, None]
+        in_range = (pos_f >= 0) & (pos_f < lb[:, None])
+        vals = b_flat[bb[:, None] * Lb + np.clip(pos_f, 0, Lb - 1)]
+        return np.where(in_range, vals, SENT_BASE).astype(np.int32)
+
+    # ---- pass 1: Myers gate ----
+    n0 = len(a)
+    bp = min(batch_pairs, max(8, 1 << (n0 - 1).bit_length()))
+    g_keep, g_dist = [], []
+    for s in range(0, n0, bp):
+        aa = a[s : s + bp].astype(np.int64)
+        bb = b[s : s + bp].astype(np.int64)
+        rr = rel[s : s + bp].astype(np.int32)
+        dd = diag[s : s + bp].astype(np.int64)
+        nb = aa.shape[0]
+        if nb < bp:
+            padn = bp - nb
+            aa, bb = np.pad(aa, (0, padn)), np.pad(bb, (0, padn))
+            rr, dd = np.pad(rr, (0, padn)), np.pad(dd, (0, padn))
+        la = pr_a.length[aa].astype(np.int64)
+        lb = pr_b.length[bb].astype(np.int64)
+        q = _oriented_codes(a_codes[aa], la, rr == 1)
+        # oriented a_pos i sits at b forward pos i + base_off (seed algebra)
+        base_off = np.where(rr == 1, dd + lb - la, -dd).astype(np.int64)
+        diag_c = -base_off                   # a_pos - b_pos convention
+        gather = lambda off: _b_gather(bb, lb, off)
+        keep, dist, _seg, _qs = _myers_gate(
+            q, la, lb, diag_c, gather, nb, cfg, edit, Wt)
+        g_keep.append(keep[:nb])
+        g_dist.append(dist[:nb])
+    keep_all = np.concatenate(g_keep)
+    dist_all = np.concatenate(g_dist)
+    f_a = a[keep_all].astype(np.int64)
+    f_b = b[keep_all].astype(np.int64)
+    f_rel = rel[keep_all].astype(np.int32)
+    f_diag = diag[keep_all].astype(np.int32)
+    f_dist = dist_all[keep_all].astype(np.int32)
+    n_f = f_a.shape[0]
+    log.info("overlap-cross gate: %d candidates -> %d pass edit-rate filter",
+             n0, n_f)
+    if n_f == 0:
+        z = np.zeros(0, np.int32)
+        return OverlapRecords(z, z, z, z, z, z, z, z, z, z)
+
+    # ---- pass 2: scored SW refine ----
+    batch_pairs = min(batch_pairs, max(8, 1 << (n_f - 1).bit_length()))
     outs = {k: [] for k in ("a", "b", "rel", "score", "a_start", "a_end",
-                            "b_start", "b_end")}
-    for s in range(0, len(a), batch_pairs):
-        aa = a[s : s + batch_pairs].astype(np.int64)
-        bb = b[s : s + batch_pairs].astype(np.int64)
-        rr = rel[s : s + batch_pairs].astype(np.int32)
-        dd = diag[s : s + batch_pairs].astype(np.int32)
+                            "b_start", "b_end", "dist")}
+    for s in range(0, n_f, batch_pairs):
+        aa = f_a[s : s + batch_pairs]
+        bb = f_b[s : s + batch_pairs]
+        rr = f_rel[s : s + batch_pairs]
+        dd = f_diag[s : s + batch_pairs]
+        dist = f_dist[s : s + batch_pairs]
         nb = aa.shape[0]
         P = batch_pairs
         if nb < P:
             padn = P - nb
             aa, bb = np.pad(aa, (0, padn)), np.pad(bb, (0, padn))
             rr, dd = np.pad(rr, (0, padn)), np.pad(dd, (0, padn))
+            dist = np.pad(dist, (0, padn))
         la = pr_a.length[aa].astype(np.int64)
         lb = pr_b.length[bb].astype(np.int64)
         flip = rr == 1
-        q = a_codes[aa]
-        qidx = (la[:, None] - 1) - np.arange(Lq)[None, :]
-        q_rc = np.where(qidx >= 0,
-                        np.take_along_axis(q, np.clip(qidx, 0, Lq - 1), 1),
-                        SENT_BASE)
-        q_rc = np.where(q_rc < 4, 3 - q_rc, q_rc)
-        q = np.where(flip[:, None], q_rc, q).astype(np.int32)
+        q = _oriented_codes(a_codes[aa], la, flip).astype(np.int32)
         qlen = np.where(np.arange(P) < nb, pr_a.length[aa], 0).astype(np.int32)
         off = np.where(flip, dd + lb - la, -dd).astype(np.int64) - cfg.band // 2
-        pos_f = np.arange(Wt)[None, :] + off[:, None]
-        in_range = (pos_f >= 0) & (pos_f < lb[:, None])
-        vals = b_flat[bb[:, None] * Lb + np.clip(pos_f, 0, Lb - 1)]
-        t_win = np.where(in_range, vals, SENT_BASE).astype(np.int32)
+        t_win = _b_gather(bb, lb, off)
         tlen = np.where(np.arange(P) < nb, Wt, 0).astype(np.int32)
 
         fwd = sw(jnp.asarray(q), jnp.asarray(t_win), jnp.asarray(qlen),
@@ -346,6 +538,7 @@ def compute_overlaps_cross(
         outs["a_end"].append(a_end_f[keep].astype(np.int32))
         outs["b_start"].append(b_start_f[keep].astype(np.int32))
         outs["b_end"].append(b_end_f[keep].astype(np.int32))
+        outs["dist"].append(dist[keep].astype(np.int32))
 
     cat = {k: (np.concatenate(v) if v else np.zeros(0, np.int32))
            for k, v in outs.items()}

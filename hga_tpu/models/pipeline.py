@@ -108,6 +108,24 @@ def load_reads(
     return pr_s, pr_l
 
 
+def _inputs_digest(pr_short: Optional[PackedReads],
+                   pr_long: Optional[PackedReads]) -> str:
+    """Content hash of the packed input reads.
+
+    Resume artifacts are keyed on this: different reads with the same counts
+    must never match a stale artifact, so the digest covers the packed base
+    data and true lengths, not just shapes.
+    """
+    h = hashlib.sha256()
+    for pr in (pr_short, pr_long):
+        if pr is None:
+            h.update(b"none")
+            continue
+        h.update(np.ascontiguousarray(pr.packed).tobytes())
+        h.update(np.ascontiguousarray(pr.length).tobytes())
+    return h.hexdigest()[:16]
+
+
 @dataclasses.dataclass
 class PipelineResult:
     contigs: List[Tuple[str, str]]
@@ -154,12 +172,22 @@ def run_pipeline(
     cfg: AssemblerConfig,
     outdir: str,
     resume: bool = False,
+    mesh="auto",
 ) -> PipelineResult:
+    """Full hybrid pipeline.  mesh: "auto" builds a data mesh over all
+    local/global devices when more than one exists (the production
+    distributed path: sharded counting, sharded DP batches, replicated vote
+    merges — SURVEY.md L6); None forces the single-device path; or pass an
+    explicit jax.sharding.Mesh."""
+    if mesh == "auto":
+        from hga_tpu.parallel.mesh import auto_mesh
+
+        mesh = auto_mesh()
     st = _Stage(outdir, resume, cfg)
     t_all = time.perf_counter()
-    n_short = pr_short.n_reads if pr_short else 0
-    n_long = pr_long.n_reads if pr_long else 0
-    inputs = f"s{n_short}l{n_long}"
+    inputs = _inputs_digest(pr_short, pr_long)
+    if mesh is not None:
+        log.info("pipeline: data mesh over %d devices", mesh.devices.size)
     path = lambda f: os.path.join(outdir, f)
 
     # --- stage: spectrum (config 1) ---
@@ -169,7 +197,7 @@ def run_pipeline(
             spec = SpectrumResult.load(path("spectrum.npz"))
         else:
             t0 = time.perf_counter()
-            spec = count_reads(pr_short, cfg)
+            spec = count_reads(pr_short, cfg, mesh=mesh)
             spec.save(path("spectrum.npz"))
             st.done("spectrum", t0, inputs)
         st.stats["spectrum"] = {"distinct": spec.n_distinct,
@@ -185,6 +213,8 @@ def run_pipeline(
                          cfg.max_seed_freq, cap, peak)
                 cfg = cfg.replace(max_seed_freq=cap)
 
+    solid = spec.solid_set() if spec is not None else None
+
     # --- stage: correction (config 5a) ---
     asm_reads = pr_short
     if pr_long is not None:
@@ -193,7 +223,8 @@ def run_pipeline(
         else:
             t0 = time.perf_counter()
             if pr_short is not None:
-                asm_reads = correct_long_reads(pr_short, pr_long, cfg)
+                asm_reads = correct_long_reads(pr_short, pr_long, cfg,
+                                               mesh=mesh, solid=solid)
             else:
                 asm_reads = pr_long
             asm_reads.save(path("corrected.npz"))
@@ -207,7 +238,11 @@ def run_pipeline(
         cands = SeedingResult.load(path("candidates.npz"))
     else:
         t0 = time.perf_counter()
-        cands = find_candidates(asm_reads, cfg)
+        # solid-seed masking applies when assembling the short reads
+        # directly; corrected long reads keep all seeds (residual
+        # errors must not break their mutual overlaps)
+        cands = find_candidates(
+            asm_reads, cfg, solid=solid if pr_long is None else None)
         cands.save(path("candidates.npz"))
         st.done("candidates", t0, inputs)
     st.stats["candidates"] = {"n": cands.n_pairs}
@@ -217,7 +252,7 @@ def run_pipeline(
         ov = OverlapRecords.load(path("overlaps.npz"))
     else:
         t0 = time.perf_counter()
-        ov = compute_overlaps(asm_reads, cands, cfg)
+        ov = compute_overlaps(asm_reads, cands, cfg, mesh=mesh)
         ov.save(path("overlaps.npz"))
         st.done("overlaps", t0, inputs)
     st.stats["overlaps"] = {"n": ov.n}
@@ -240,7 +275,7 @@ def run_pipeline(
     polished = res.contigs
     if pr_short is not None and res.contigs:
         t0 = time.perf_counter()
-        polished = polish_contigs(res.contigs, pr_short, cfg)
+        polished = polish_contigs(res.contigs, pr_short, cfg, mesh=mesh)
         write_fasta(path("polished.fasta"), polished)
         st.done("polish", t0, inputs)
 

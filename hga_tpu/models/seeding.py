@@ -116,35 +116,54 @@ def find_candidates(
     mode: str = "all",
     idx: Optional[np.ndarray] = None,
     pair_cap: Optional[int] = None,
+    solid=None,
 ) -> SeedingResult:
-    """Config-2 stage: minimizers -> frequency-filtered candidate pairs."""
+    """Config-2 stage: minimizers -> frequency-filtered candidate pairs.
+
+    solid: optional (hi, lo) solid-k-mer arrays; seeds whose k-mer is not
+    solid are dropped before pair generation (SURVEY.md C5: the spectrum's
+    discriminative k-mers drive candidate detection in the reference).
+    """
     ent = extract_seed_entries(pr, cfg, idx)
-    N = max(16, int(ent.hi.shape[0]))
+    ent_hi, ent_lo = ent.hi, ent.lo
+    if solid is not None and cfg.use_solid_seeds:
+        from hga_tpu.models.correction import _solid_mask
+
+        keep = _solid_mask(ent_hi, ent_lo, solid)
+        log.info("seeding: %d/%d seeds are solid", int(keep.sum()), keep.size)
+        ent_hi = np.where(keep, ent_hi, np.uint32(0xFFFFFFFF))
+        ent_lo = np.where(keep, ent_lo, np.uint32(0xFFFFFFFF))
+    N = max(16, int(ent_hi.shape[0]))
     if pair_cap is None:
         pair_cap = max(64, 8 * pr.n_reads)
     # pad entry arrays to a padded static size (multiple of 1024)
     Np = ((N + 1023) // 1024) * 1024
-    pad = Np - ent.hi.shape[0]
-    hi = np.pad(ent.hi, (0, pad), constant_values=0xFFFFFFFF)
-    lo = np.pad(ent.lo, (0, pad), constant_values=0xFFFFFFFF)
+    pad = Np - ent_hi.shape[0]
+    hi = np.pad(ent_hi, (0, pad), constant_values=0xFFFFFFFF)
+    lo = np.pad(ent_lo, (0, pad), constant_values=0xFFFFFFFF)
     read = np.pad(ent.read, (0, pad))
     pos = np.pad(ent.pos, (0, pad))
     strand = np.pad(ent.strand, (0, pad))
 
-    while True:  # grow capacity until the aggregated pair list fits
-        cp = P.candidate_pairs(
-            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(read),
-            jnp.asarray(pos), jnp.asarray(strand),
-            jnp.asarray(pr.length.astype(np.int32)),
-            jnp.asarray(pr.category.astype(np.int32)),
-            k=cfg.k, max_freq=cfg.max_seed_freq,
-            min_shared=cfg.min_shared_minimizers,
-            pair_cap=pair_cap, mode=mode,
-        )
-        if int(cp.overflow) == 0:
-            break
-        pair_cap *= 4
-        log.info("seeding: pair capacity overflow, growing to %d", pair_cap)
+    run = lambda cap: P.candidate_pairs(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(read),
+        jnp.asarray(pos), jnp.asarray(strand),
+        jnp.asarray(pr.length.astype(np.int32)),
+        jnp.asarray(pr.category.astype(np.int32)),
+        k=cfg.k, max_freq=cfg.max_seed_freq,
+        min_shared=cfg.min_shared_minimizers,
+        pair_cap=cap, mode=mode,
+    )
+    cp = run(pair_cap)
+    if int(cp.overflow) > 0:
+        # two-pass count -> allocate -> fill: the first pass already counted
+        # the kept pairs (n + overflow), so exactly ONE re-run at the right
+        # power-of-two capacity suffices (recompiles are minutes on the
+        # tunneled backend — never grow capacity in a retry loop)
+        need = int(cp.n) + int(cp.overflow)
+        pair_cap = 1 << max(6, (need - 1).bit_length())
+        log.info("seeding: pair capacity -> %d (need %d)", pair_cap, need)
+        cp = run(pair_cap)
     n = int(cp.n)
     res = SeedingResult(
         a=np.asarray(cp.a)[:n], b=np.asarray(cp.b)[:n],

@@ -75,18 +75,40 @@ def count_reads(
     pr: PackedReads,
     cfg: AssemblerConfig,
     category: Optional[int] = None,
+    mesh=None,
 ) -> SpectrumResult:
     """Count canonical k-mers of (a category of) a read set; pick threshold.
 
     Batches are fixed-shape so the per-batch jit compiles once; batch results
     are compacted on host and merged with a single final device sort
     (SURVEY.md §4.1 build path).
+
+    With a >1-device mesh, every batch is sharded over the 'data' axis and
+    counted with the shard_map collective path (local sort-count per chip +
+    all_gather merge, parallel/collectives.py) — the production pipeline's
+    distributed counting (SURVEY.md L6/§3.2).
     """
     idx = np.arange(pr.n_reads)
     if category is not None:
         idx = idx[pr.category == category]
     B = cfg.batch_reads
-    f = _count_batch_fn(cfg.k)
+    ndev = int(mesh.devices.size) if mesh is not None else 1
+    if ndev > 1:
+        from jax.sharding import PartitionSpec as SP, NamedSharding
+
+        from hga_tpu.parallel import collectives as PC
+
+        B = ((B + ndev - 1) // ndev) * ndev
+        kmers_per_read = pr.pad_len - cfg.k + 1
+        shard_cap = (B // ndev) * kmers_per_read
+        dp = NamedSharding(mesh, SP("data"))
+
+        def f(packed, bad, length):
+            return PC.count_kmers_sharded(
+                mesh, jax.device_put(packed, dp), jax.device_put(bad, dp),
+                jax.device_put(length, dp), cfg.k, shard_cap)
+    else:
+        f = _count_batch_fn(cfg.k)
 
     parts_hi: List[np.ndarray] = []
     parts_lo: List[np.ndarray] = []

@@ -91,35 +91,37 @@ def query_planes(q: jax.Array, qlen: jax.Array, W: int):
     return q0, q1, vq, mend
 
 
-@functools.partial(jax.jit, static_argnames=("W",))
-def myers_batch(q: jax.Array, t: jax.Array, qlen: jax.Array,
-                tlen: jax.Array, W: int = 0) -> MyersResult:
-    """Batched bit-parallel semi-global edit distance (XLA column scan).
-
-    q, t: int32 base codes (N, Lq), (N, Lt); codes >= 4 never match.
-    Runs everywhere (CPU tests, fallback); the Pallas kernel in
-    ops/myers_pallas.py is the TPU hot path with identical results.
-    """
-    N, Lq = q.shape
-    Lt = t.shape[1]
-    W = W or n_words(Lq)
-    q0, q1, vq, mend = query_planes(q, qlen, W)   # (N, W) each
+def myers_init_state(qlen: jax.Array, W: int):
+    """Fresh column-0 state (pv, mv, score, best, bj) for a query batch."""
+    N = qlen.shape[0]
     ql = qlen.astype(I32)
+    return (jnp.full((N, W), M31, I32), jnp.zeros((N, W), I32),
+            ql, ql, jnp.zeros((N,), I32))
+
+
+def myers_cols(q0, q1, vq, mend, t, tlen, state, j0=0):
+    """Advance the Myers recurrence over the target columns in `t`.
+
+    state: (pv, mv, score, best, bj) from myers_init_state or a previous
+    myers_cols call; j0 is the GLOBAL index of t's first column (tend values
+    and the tlen mask stay global).  This resumable form is what the ring
+    sequence-parallel engine (parallel/ring_myers.py) hands from chip to
+    chip: the (pv, mv, score, best, bj) tuple IS the halo.
+    """
+    N, W = q0.shape
+    Lt = t.shape[1]
     tl = tlen.astype(I32)
     tt = t.astype(I32)
-
-    pv0 = jnp.full((N, W), M31, I32)
-    mv0 = jnp.zeros((N, W), I32)
-    score0 = ql
-    best0 = ql
-    bj0 = jnp.zeros((N,), I32)
+    j0 = jnp.asarray(j0, I32)
 
     def col(j, carry):
         pv, mv, score, best, bj = carry
         tc = jax.lax.dynamic_slice_in_dim(tt, j, 1, axis=1)     # (N, 1)
         t0 = -(tc & 1)
         t1 = -((tc >> 1) & 1)
-        tvm = ((tc >> 2) & 1) - 1        # -1 valid, 0 for codes >= 4
+        tvm = -(((tc >= 0) & (tc < 4)).astype(I32))  # -1 valid, else 0:
+        # full compare so any code outside 0..3 (sentinels, negative pads,
+        # aliases >= 8) never matches, matching the documented contract
         eq = (vq & ~((q0 ^ t0) | (q1 ^ t1))) & tvm
         xv = eq | mv
         a = eq & pv
@@ -151,13 +153,29 @@ def myers_batch(q: jax.Array, t: jax.Array, qlen: jax.Array,
         mh = ((mh << 1) & M31) | cm
         pv = (mh | ~(xv | ph)) & M31
         mv = ph & xv
-        take = (score < best) & (j < tl)
-        bj = jnp.where(take, j + 1, bj)
+        jg = j0 + j
+        take = (score < best) & (jg < tl)
+        bj = jnp.where(take, jg + 1, bj)
         best = jnp.where(take, score, best)
         return (pv, mv, score, best, bj)
 
-    pv, mv, score, best, bj = jax.lax.fori_loop(
-        0, Lt, col, (pv0, mv0, score0, best0, bj0))
-    zero = ql == 0
+    return jax.lax.fori_loop(0, Lt, col, state)
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def myers_batch(q: jax.Array, t: jax.Array, qlen: jax.Array,
+                tlen: jax.Array, W: int = 0) -> MyersResult:
+    """Batched bit-parallel semi-global edit distance (XLA column scan).
+
+    q, t: int32 base codes (N, Lq), (N, Lt); codes outside 0..3 never match.
+    Runs everywhere (CPU tests, fallback); the Pallas kernel in
+    ops/myers_pallas.py is the TPU hot path with identical results.
+    """
+    N, Lq = q.shape
+    W = W or n_words(Lq)
+    q0, q1, vq, mend = query_planes(q, qlen, W)   # (N, W) each
+    state = myers_init_state(qlen, W)
+    _, _, _, best, bj = myers_cols(q0, q1, vq, mend, t, tlen, state)
+    zero = qlen.astype(I32) == 0
     return MyersResult(dist=jnp.where(zero, 0, best),
                        tend=jnp.where(zero, 0, bj))

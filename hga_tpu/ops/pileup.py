@@ -6,6 +6,13 @@ pileup is a (position x symbol) vote tensor built with one scatter-add over
 all alignment columns, and the consensus base is an argmax per column with a
 backbone prior — mirroring utils/oracle.pileup_consensus bit-for-bit.
 
+The traceback that turns direction bitmaps into column votes also runs on
+device (traceback_columns / accumulate_backbone_votes): a lax.scan walks all
+P alignments of a batch backwards in lockstep and the emitted (column,
+symbol) streams scatter-add straight into the carried vote tensors — the
+dirs tensor never leaves HBM and there is no per-step host loop
+(SURVEY.md L5; the reference walks each alignment in a scalar loop).
+
 Symbols: 0..3 = A,C,G,T (substitution vote), 4 = deletion, 5 = unused slot
 (reserved for insertion counts).
 """
@@ -35,6 +42,116 @@ def consensus_votes(
     votes = jnp.zeros((length * N_SYM,), I32).at[flat].add(
         valid.astype(I32), mode="drop")
     return votes.reshape(length, N_SYM)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "Lt"))
+def traceback_columns(
+    dirs: jax.Array,   # int8 (D, P, W) from banded_sw_batch_dirs
+    qend: jax.Array,   # int32 (P,) 0 disables the row
+    tend: jax.Array,   # int32 (P,)
+    q: jax.Array,      # int32 (P, Lq) oriented query codes
+    band: int,
+    Lt: int,
+):
+    """Vectorized device traceback over a pair batch (lax.scan, P in lanes).
+
+    Semantically identical to the host walk it replaces (see
+    models/correction.py history): per step every active alignment follows
+    its direction bit; diagonal/left moves emit a column vote (read base /
+    deletion symbol 4), up moves emit an insertion (read base inserted after
+    the column, slot counted from the END of the insertion run — traceback
+    walks backwards).
+
+    Returns (sub_col, sub_sym, sub_ok, ins_col, ins_base, ins_slot, ins_ok),
+    all (S, P) with S = Lq + Lt static.
+    """
+    D, P, W = dirs.shape
+    Lq = q.shape[1]
+    S = Lq + Lt
+    pid = jnp.arange(P, dtype=I32)
+
+    def step(carry, _):
+        i, j, run, active = carry
+        d = i + j
+        o_d = jnp.maximum(jnp.maximum(1, d - Lt), (d - band + 1) // 2)
+        p = i - o_d
+        ok = active & (p >= 0) & (p < W) & (d >= 2)
+        dir_ = jnp.where(
+            ok,
+            dirs[jnp.clip(d - 2, 0, D - 1), pid, jnp.clip(p, 0, W - 1)]
+            .astype(I32),
+            0)
+        diag = active & (dir_ == 1)
+        up = active & (dir_ == 2)
+        left = active & (dir_ == 3)
+        qsym = q[pid, jnp.clip(i - 1, 0, Lq - 1)]
+        out = (j - 1,                                    # sub_col
+               jnp.where(diag, qsym, 4),                 # sub_sym
+               diag | left,                              # sub_ok
+               j - 1,                                    # ins_col
+               qsym,                                     # ins_base
+               run,                                      # ins_slot
+               up)                                       # ins_ok
+        run = jnp.where(up, run + 1, 0)
+        i = i - (diag | up).astype(I32)
+        j = j - (diag | left).astype(I32)
+        active = active & (dir_ != 0) & (i >= 1) & (j >= 1)
+        return (i, j, run, active), out
+
+    i0 = qend.astype(I32)
+    j0 = tend.astype(I32)
+    run0 = jnp.zeros((P,), I32)
+    act0 = qend > 0
+    _, outs = jax.lax.scan(step, (i0, j0, run0, act0), None, length=S)
+    return outs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("band", "Lt", "ins_slots"),
+                   donate_argnums=(0, 1))
+def accumulate_backbone_votes(
+    votes: jax.Array,      # int32 (NB, Lpad, N_SYM) — donated, updated
+    ins_votes: jax.Array,  # int32 (NB, Lpad, ins_slots, 4) — donated
+    dirs: jax.Array,       # int8 (D, P, W)
+    qend: jax.Array,       # int32 (P,) — pre-masked by score threshold
+    tend: jax.Array,       # int32 (P,)
+    q: jax.Array,          # int32 (P, Lq) oriented query codes
+    bb: jax.Array,         # int32 (P,) backbone id per pair
+    off: jax.Array,        # int32 (P,) window col -> forward backbone col
+    lb: jax.Array,         # int32 (P,) backbone true length per pair
+    band: int,
+    Lt: int,
+    ins_slots: int = 3,
+) -> Tuple[jax.Array, jax.Array]:
+    """Traceback one batch and scatter its votes into the carried tensors.
+
+    Everything stays on device: the (D, P, W) dirs tensor is consumed here
+    and never copied to host.  Out-of-range / masked votes are routed to an
+    out-of-bounds flat index and dropped by the scatter's "drop" mode.
+    """
+    NB, Lpad, _ = votes.shape
+    sub_col, sub_sym, sub_ok, ins_col, ins_base, ins_slot, ins_ok = (
+        traceback_columns(dirs, qend, tend, q, band=band, Lt=Lt))
+
+    colf = sub_col + off[None, :]
+    okc = sub_ok & (colf >= 0) & (colf < lb[None, :])
+    size_v = NB * Lpad * N_SYM
+    flat_v = (bb[None, :] * Lpad + colf) * N_SYM + sub_sym
+    flat_v = jnp.where(okc, flat_v, size_v)
+    votes = votes.reshape(-1).at[flat_v.reshape(-1)].add(
+        1, mode="drop").reshape(NB, Lpad, N_SYM)
+
+    icolf = ins_col + off[None, :]
+    oki = (ins_ok & (icolf >= 0) & (icolf < lb[None, :])
+           & (ins_slot < ins_slots))
+    size_i = NB * Lpad * ins_slots * 4
+    flat_i = (((bb[None, :] * Lpad + icolf) * ins_slots
+               + jnp.clip(ins_slot, 0, ins_slots - 1)) * 4
+              + jnp.clip(ins_base, 0, 3))
+    flat_i = jnp.where(oki, flat_i, size_i)
+    ins_votes = ins_votes.reshape(-1).at[flat_i.reshape(-1)].add(
+        1, mode="drop").reshape(NB, Lpad, ins_slots, 4)
+    return votes, ins_votes
 
 
 @functools.partial(jax.jit, static_argnames=("min_depth",))

@@ -52,6 +52,56 @@ def make_mesh(
     return Mesh(arr, axes)
 
 
+def auto_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """The production mesh: all local devices on one 'data' axis, or None
+    when only one device exists (single-chip path, no collectives)."""
+    devs = jax.devices()
+    if len(devs) < min_devices:
+        return None
+    return make_mesh(devices=devs)
+
+
+def shard_batch_fn(mesh: Optional[Mesh], inner, n_in: int, out_axes):
+    """Wrap a leading-axis-batched device fn for data-parallel execution.
+
+    `inner(*arrays)` maps a batch to same-leading-axis outputs with NO
+    cross-batch interaction (DP sweeps, edit-distance gates...).  With a
+    mesh, the batch is split over the 'data' axis via shard_map — each chip
+    runs `inner` on its shard; XLA inserts no collectives because none are
+    needed.  Batches not divisible by the mesh size (tiny tails) fall back
+    to single-device execution.
+
+    out_axes: a pytree-structure callable/class (e.g. a NamedTuple class)
+    taking P('data') leaves, or None for a single-array output.
+    """
+    if mesh is None or mesh.devices.size <= 1:
+        return inner
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # pragma: no cover - newer jax
+        from jax import shard_map
+
+    ndev = mesh.devices.size
+    if out_axes is None:
+        out_specs = P("data")
+    else:
+        n_leaves = len(getattr(out_axes, "_fields", ())) or 1
+        out_specs = out_axes(*([P("data")] * n_leaves))
+    sharded = jax.jit(shard_map(
+        inner, mesh=mesh,
+        in_specs=(P("data"),) * n_in,
+        out_specs=out_specs,
+        check_rep=False,
+    ))
+
+    def f(*arrays):
+        if arrays[0].shape[0] % ndev:
+            return inner(*arrays)
+        return sharded(*arrays)
+
+    return f
+
+
 def data_sharding(mesh: Mesh, rank: int = 1) -> NamedSharding:
     """Shard leading axis over 'data', replicate the rest."""
     spec = P("data", *([None] * (rank - 1)))

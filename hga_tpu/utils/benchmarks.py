@@ -42,14 +42,22 @@ def _timeit_distinct(make_fn, inputs, warm_input):
     return best
 
 
-def _timeit_amortized(sw_fn, q, t, ql, tl, inner: int = 8, passes: int = 3):
+def _timeit_amortized(sw_fn, q, t, ql, tl, inner: int = 128, passes: int = 3,
+                      result=lambda r: r.score):
     """Time `inner` kernel executions inside ONE jitted dispatch.
 
     A fori_loop perturbs the query each iteration (loop-dependent, so XLA
-    cannot hoist or the runtime dedupe it) and folds every score into one
+    cannot hoist or the runtime dedupe it) and folds every result into one
     scalar fetched at the end — a single dispatch+readback amortized over
     `inner` real sweeps.  This is the only stable methodology under the
-    tunneled backend (see _timeit_distinct notes)."""
+    tunneled backend (see _timeit_distinct notes).
+
+    `inner` MUST be large: the tunnel's dispatch+readback roundtrip is
+    ~20-30 ms REGARDLESS of device work, so inner=8 reads as ~3 ms/call for
+    ANY kernel (measured round 1: a trivial x+1 kernel, a 4096x4096 matmul
+    and the SW sweep all "took" ~3 ms at inner=8).  At inner=128 the fixed
+    roundtrip contributes < 0.25 ms/call.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +66,7 @@ def _timeit_amortized(sw_fn, q, t, ql, tl, inner: int = 8, passes: int = 3):
         def body(it, acc):
             q2 = (q + it) % 4
             r = sw_fn(q2, t, ql, tl)
-            return acc + jnp.sum(r.score)
+            return acc + jnp.sum(result(r))
 
         return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
 
@@ -108,6 +116,44 @@ def bench_sw(n_pairs: int = 8192, Lq: int = 128, Lt: int = 256,
     return best
 
 
+def bench_myers(n_pairs: int = 8192, Lq: int = 128, Lt: int = 192) -> Dict:
+    """Production overlap-gate GCUPS: the bit-parallel Myers engine on
+    config-3-shaped pairs (short read segment vs long-read window).
+
+    Cell accounting is the full Lq x Lt DP matrix per pair — exactly the
+    cells the UNBANDED semi-global recurrence evaluates (the engine computes
+    every row of every column; nothing is skipped), so cells/s is directly
+    comparable to banded-SW GCUPS (which counts only in-band cells).
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(0, 4, (n_pairs, Lq)).astype(np.int32))
+    t = jnp.asarray(rng.integers(0, 4, (n_pairs, Lt)).astype(np.int32))
+    ql = jnp.asarray(np.full(n_pairs, Lq, np.int32))
+    tl = jnp.asarray(np.full(n_pairs, Lt, np.int32))
+    cells = n_pairs * Lq * Lt
+
+    best: Optional[Dict] = None
+    try:
+        from hga_tpu.ops.myers_pallas import myers_batch_pallas
+
+        dt = _timeit_amortized(myers_batch_pallas, q, t, ql, tl,
+                               result=lambda r: r.dist)
+        best = {"impl": "pallas", "seconds": dt, "gcups": cells / dt / 1e9}
+    except Exception:
+        pass
+    if best is None:  # XLA fallback (CPU path)
+        from hga_tpu.ops.myers import myers_batch
+
+        dt = _timeit_amortized(myers_batch, q, t, ql, tl, inner=4,
+                               result=lambda r: r.dist)
+        best = {"impl": "xla", "seconds": dt, "gcups": cells / dt / 1e9}
+    best.update(cells=cells, n_pairs=n_pairs, Lq=Lq, Lt=Lt,
+                roofline_gcups=ROOFLINE_GCUPS, baseline_gcups=BASELINE_GCUPS)
+    return best
+
+
 def bench_count(n_reads: int = 8192, read_len: int = 112, k: int = 21) -> Dict:
     """Config-1 counting reads/s (extract + sort-count + histogram)."""
     import jax
@@ -124,12 +170,22 @@ def bench_count(n_reads: int = 8192, read_len: int = 112, k: int = 21) -> Dict:
     length = jnp.full((n_reads,), read_len, jnp.int32)
 
     @jax.jit
-    def run(p, b, l):
-        kb = K.extract_kmers(p, b, l, k)
-        ck = C.count_kmer_batch(kb)
-        return C.spectrum_histogram(ck, 64)
+    def many(p, b, l):
+        def body(it, acc):
+            kb = K.extract_kmers(p ^ it.astype(jnp.uint32), b, l, k)
+            ck = C.count_kmer_batch(kb)
+            return acc + C.spectrum_histogram(ck, 64)
 
-    dt, _ = _timeit(lambda: run(packed, bad, length))
+        return jax.lax.fori_loop(0, 4, body, jnp.zeros(64, jnp.int32))
+
+    _ = int(np.sum(np.asarray(many(packed, bad, length))))  # compile + warm
+    best = None
+    for _p in range(3):
+        t0 = time.perf_counter()
+        _ = int(np.sum(np.asarray(many(packed, bad, length))))
+        dt = (time.perf_counter() - t0) / 4
+        best = dt if best is None else min(best, dt)
+    dt = best
     return {"impl": "xla", "seconds": dt, "reads_per_s": n_reads / dt,
             "kmers_per_s": n_reads * (read_len - k + 1) / dt}
 
@@ -224,6 +280,8 @@ def bench_scaling(n_reads: int = 16384, read_len: int = 112,
 def run_benchmark(what: str = "sw", n_pairs: int = 4096) -> Dict:
     if what == "sw":
         return bench_sw(n_pairs=n_pairs)
+    if what == "myers":
+        return bench_myers(n_pairs=n_pairs)
     if what == "count":
         return bench_count()
     if what == "pipeline":

@@ -392,9 +392,12 @@ def edit_distance_hw(q, t) -> Tuple[int, int]:
     D[0][j] = 0; returns (min_j D[m][j], argmin j) with the SMALLEST j
     breaking ties.  This is the semantic reference for ops/myers.py — the
     TPU-native replacement for the reference's scalar alignment loops on the
-    overlap-extension path (SURVEY.md C9; scores gate overlap acceptance, so
-    unit-cost distance + end positions carry the same information as SW
-    score for overlap detection, at ~30x the per-cell device throughput).
+    overlap-extension path (SURVEY.md C9).  NOTE: unit-cost edit distance is
+    NOT score-equivalent to SW (no match bonus, no affine gaps), so SW score
+    thresholds do not transfer; the overlap gate re-calibrates acceptance as
+    a maximum edit RATE over the expected overlap segment
+    (cfg.min_identity in models/overlap.py), with scored SW reserved for
+    coordinate refinement of survivors.
     """
     q = np.asarray(q, dtype=np.int64)
     t = np.asarray(t, dtype=np.int64)
