@@ -86,6 +86,25 @@ def cmd_count(args) -> int:
     with open(os.path.join(args.outdir, "spectrum_hist.tsv"), "w") as fh:
         for c, n in enumerate(res.hist):
             fh.write(f"{c}\t{int(n)}\n")
+    try:  # spectrum plot (the reference ships plotting scripts, SURVEY C16)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ax.bar(range(1, len(res.hist)), res.hist[1:], width=1.0)
+        ax.axvline(res.threshold, color="red", ls="--",
+                   label=f"solid threshold {res.threshold}")
+        ax.set_xlabel(f"{res.k}-mer count")
+        ax.set_ylabel("# distinct k-mers")
+        ax.set_yscale("log")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.outdir, "spectrum.png"), dpi=120)
+        plt.close(fig)
+    except Exception:  # pragma: no cover - plotting is best-effort
+        pass
     print(json.dumps({"distinct_kmers": res.n_distinct, "k": res.k,
                       "solid_threshold": res.threshold,
                       "solid_kmers": int((res.count >= res.threshold).sum())}))
@@ -167,11 +186,22 @@ def cmd_correct(args) -> int:
 
 def cmd_eval(args) -> int:
     from hga_tpu.io.fastq import iter_records
-    from hga_tpu.utils.evalx import evaluate_contigs
+    from hga_tpu.utils.evalx import (alignment_identity, evaluate_contigs,
+                                     exact_contig_match)
 
     contigs = [(r.name, r.seq) for r in iter_records(args.contigs)]
-    ref = "".join(r.seq for r in iter_records(args.reference))
-    print(json.dumps(evaluate_contigs(contigs, ref, k=args.k or 21)))
+    out = {}
+    if args.reference:
+        ref = "".join(r.seq for r in iter_records(args.reference))
+        out.update(evaluate_contigs(contigs, ref, k=args.k or 21))
+        if args.align:
+            out.update(alignment_identity(contigs, ref))
+    if args.exact:
+        # reference-parity harness: byte-for-byte contig-set diff vs the
+        # reference assembler's output (SURVEY.md §5.3 bit-identical target)
+        ref_contigs = [(r.name, r.seq) for r in iter_records(args.exact)]
+        out.update(exact_contig_match(contigs, ref_contigs))
+    print(json.dumps(out))
     return 0
 
 
@@ -225,7 +255,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("eval")
     p.add_argument("--contigs", required=True)
-    p.add_argument("--reference", required=True)
+    p.add_argument("--reference", help="reference genome FASTA")
+    p.add_argument("--exact", metavar="FASTA",
+                   help="reference assembler contigs: byte-for-byte set diff")
+    p.add_argument("--align", action="store_true",
+                   help="alignment-based identity via the long-read engine")
     p.add_argument("-k", type=int, default=21)
     p.set_defaults(fn=cmd_eval)
 

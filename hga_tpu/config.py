@@ -59,6 +59,11 @@ class AssemblerConfig:
     # spectrum is available — the reference's discriminative-k-mer mechanism
     # (SURVEY.md C5/C12): error k-mers stop generating candidate pairs.
     use_solid_seeds: bool = True
+    # Cap correction candidates per backbone at ~corr_depth_cap reads per
+    # column (0 = uncapped).  A pileup only needs bounded depth; at judged
+    # scale (cov 30 x 20) the uncapped alignment count is the wall-clock
+    # driver.  Highest shared-seed-count candidates win.
+    corr_depth_cap: int = 0
 
     # --- orchestration (L6) ---
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices

@@ -87,6 +87,29 @@ class PackedReads:
             pad_len=self.pad_len,
         )
 
+    def with_pad(self, pad_len: int) -> "PackedReads":
+        """Truncate (or zero-extend) the pad width; lengths must fit.
+
+        Length-bucketed processing (models/correction.py) uses this so a few
+        very long reads don't force every batch to the maximum pad.
+        pad_len must be a multiple of 32 (whole `bad` bitmask words).
+        """
+        if pad_len % 32:
+            raise ValueError(f"pad_len={pad_len} not a multiple of 32")
+        if int(self.length.max(initial=0)) > pad_len:
+            raise ValueError("reads longer than requested pad")
+        W = pad_len // 16
+        WB = pad_len // 32
+        if W <= self.packed.shape[1]:
+            packed = self.packed[:, :W]
+            bad = self.bad[:, :WB]
+        else:
+            packed = np.pad(self.packed, ((0, 0), (0, W - self.packed.shape[1])))
+            bad = np.pad(self.bad, ((0, 0), (0, WB - self.bad.shape[1])))
+        return PackedReads(packed=packed, bad=bad, length=self.length,
+                           names=self.names, category=self.category,
+                           pad_len=pad_len)
+
     def save(self, path: str) -> None:
         np.savez_compressed(
             path,

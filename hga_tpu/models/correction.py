@@ -30,7 +30,7 @@ import numpy as np
 from hga_tpu.config import AssemblerConfig
 from hga_tpu.io.encode import PackedReads, decode_bases, pack_reads, unpack_codes
 from hga_tpu.models.overlap import SENT_BASE
-from hga_tpu.models.seeding import extract_seed_entries
+from hga_tpu.models.seeding import extract_seed_entries, solid_mask
 from hga_tpu.ops import pairs as OP
 from hga_tpu.ops import pileup as PU
 from hga_tpu.ops.align import banded_sw_batch_dirs, o_of_host
@@ -41,20 +41,17 @@ log = logging.getLogger(__name__)
 _DEBUG_SINK: Optional[dict] = None
 
 
-def _solid_mask(hi: np.ndarray, lo: np.ndarray, solid) -> np.ndarray:
-    """Membership of seed k-mers in the solid set (device sorted-merge)."""
-    from hga_tpu.ops.count import member_sorted
-
-    s_hi, s_lo = solid
-    return np.asarray(member_sorted(
-        jnp.asarray(s_hi.astype(np.uint32)), jnp.asarray(s_lo.astype(np.uint32)),
-        jnp.asarray(hi.astype(np.uint32)), jnp.asarray(lo.astype(np.uint32))))
+# above this many combined minimizer entries the bounded device self-join
+# would materialize O(N * max_freq) pair slots at once; switch to the
+# chunked sorted-index route (models/overlap_long.py, SURVEY.md §8.3-3)
+INDEXED_ROUTE_ENTRIES = 3_000_000
 
 
 def find_candidates_cross(
     pr_a: PackedReads, pr_b: PackedReads, cfg: AssemblerConfig,
     pair_cap: Optional[int] = None,
     solid=None,
+    seed_index=None,
 ):
     """Candidates between two read sets (a ids first, b ids offset by |a|).
 
@@ -65,7 +62,17 @@ def find_candidates_cross(
     .solid_set()); when given, only solid-k-mer seeds generate candidates —
     the reference drives its read connection with discriminative k-mers the
     same way (SURVEY.md C5/C12, §1.1 ReadClusteringEngine).
+
+    Large inputs (or a provided seed_index) dispatch to the memory-bounded
+    sorted-index route in models/overlap_long.py.
     """
+    est = (int(pr_a.length.sum()) + int(pr_b.length.sum())) // max(cfg.w, 1) * 2
+    if seed_index is not None or est > INDEXED_ROUTE_ENTRIES:
+        from hga_tpu.models.overlap_long import find_candidates_cross_indexed
+
+        return find_candidates_cross_indexed(
+            pr_a, pr_b, cfg, solid=solid, index=seed_index,
+            depth_cap=cfg.corr_depth_cap)
     ea = extract_seed_entries(pr_a, cfg)
     eb = extract_seed_entries(pr_b, cfg)
     na = pr_a.n_reads
@@ -79,7 +86,7 @@ def find_candidates_cross(
         [np.zeros(na, np.int32), np.ones(pr_b.n_reads, np.int32)])
 
     if solid is not None and cfg.use_solid_seeds:
-        keep = _solid_mask(hi, lo, solid)
+        keep = solid_mask(hi, lo, solid)
         log.info("correction: %d/%d seeds are solid", int(keep.sum()),
                  keep.size)
         hi = np.where(keep, hi, np.uint32(0xFFFFFFFF))
@@ -243,6 +250,7 @@ def consensus_backbones(
     min_score: Optional[int] = None,
     mesh=None,
     solid=None,
+    seed_index=None,
 ) -> List[str]:
     """Correct every backbone by short-read pileup consensus (device DP +
     device traceback + device scatter votes); returns corrected sequences."""
@@ -252,7 +260,8 @@ def consensus_backbones(
         min_score = cfg.min_overlap_score
 
     a, b, rel, diag = find_candidates_cross(reads, backbones, cfg,
-                                            solid=solid)
+                                            solid=solid,
+                                            seed_index=seed_index)
     log.info("correction: %d read->backbone candidates for %d backbones",
              len(a), nb)
     batch_pairs = min(batch_pairs,
@@ -357,17 +366,56 @@ def consensus_backbones(
     return out
 
 
+MAX_VOTE_COLS = 24_000_000  # nb * Lpad budget per correction group
+
+
 def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
-                       cfg: AssemblerConfig, **kw) -> PackedReads:
+                       cfg: AssemblerConfig,
+                       max_cols: int = MAX_VOTE_COLS, **kw) -> PackedReads:
     """Config-5 first half: hybrid error correction of long reads.
 
-    Accepts consensus_backbones kwargs (mesh=..., min_score=...).
+    Accepts consensus_backbones kwargs (mesh=..., min_score=..., solid=...).
+
+    Backbones are LENGTH-BUCKETED: reads are sorted by length and packed
+    into groups whose (count x group_pad) vote-tensor footprint stays under
+    max_cols, each corrected at its own pad — one very long read must not
+    force the maximum pad (and a >GB vote tensor) onto every read
+    (SURVEY.md §8.3-3 static-shape discipline at scale).  The short-read
+    seed index is built once and shared across groups.
     """
-    corrected = consensus_backbones(pr_long, pr_short, cfg, **kw)
+    n = pr_long.n_reads
+    order = np.argsort(pr_long.length, kind="stable")
+    groups: List[np.ndarray] = []
+    cur: List[int] = []
+    for i in order:
+        L = int(pr_long.length[i])
+        pad = ((max(L, 32) + 31) // 32) * 32
+        if cur and (len(cur) + 1) * pad > max_cols:
+            groups.append(np.array(cur))
+            cur = []
+        cur.append(int(i))
+    if cur:
+        groups.append(np.array(cur))
+
+    if len(groups) > 1 and kw.get("seed_index") is None:
+        from hga_tpu.models.overlap_long import build_seed_index
+
+        kw = dict(kw)
+        kw["seed_index"] = build_seed_index(pr_short, cfg,
+                                            solid=kw.get("solid"))
+
+    corrected: List[Optional[str]] = [None] * n
+    for g in groups:
+        pad_g = ((int(pr_long.length[g].max()) + 31) // 32) * 32
+        sub = pr_long.subset(g).with_pad(pad_g)
+        log.info("correction group: %d reads @ pad %d", len(g), pad_g)
+        seqs = consensus_backbones(sub, pr_short, cfg, **kw)
+        for i, s in zip(g, seqs):
+            corrected[i] = s
     # inserted bases can push a read past the original pad — re-derive it
     pad = max(pr_long.pad_len,
               ((max(len(s) for s in corrected) + 15) // 16) * 16)
-    return pack_reads(corrected, names=[n + "_corr" for n in pr_long.names],
+    return pack_reads(corrected, names=[nm + "_corr" for nm in pr_long.names],
                       category=np.ones(len(corrected), np.int32),
                       pad_len=pad)
 

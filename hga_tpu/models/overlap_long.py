@@ -1,0 +1,510 @@
+"""Long-vs-long overlap engine: minimizer anchors -> colinear chain ->
+per-segment bit-parallel DP (components C8 + the long-read L3 path).
+
+The reference re-anchors its scalar DP per seed chain (SURVEY.md §4.2,
+C8); the round-1 engine instead estimated ONE diagonal per pair and ran a
+single banded DP — which silently loses true overlaps once indel drift over
+a multi-kb overlap exceeds the band.  This module does it the TPU-first
+way:
+
+1. **Anchors** — the sorted minimizer index is queried per read-chunk; each
+   shared minimizer yields an anchor (q, t, rel, pos_q, pos_t), expanded
+   with vectorized run arithmetic (no per-anchor host loop).  Chunks are
+   read-aligned so a pair's anchors never split across chunks.
+2. **Chain** — anchors of a pair are bucketed along the query axis
+   (SEG-sized buckets); each bucket's representative is its diagonal-median
+   anchor.  The representative sequence is an outlier-robust piecewise
+   chain that FOLLOWS indel drift (each bucket re-estimates the local
+   diagonal), replacing global-diagonal banding.
+3. **Segments** — consecutive representatives cut the alignment into
+   bounded query spans; every segment becomes one row of a batched
+   bit-parallel Myers call (ops.myers_pallas on TPU) against an exactly
+   positioned target window.  End segments run with free target ends (the
+   first one on reversed sequences) so the overlap's target coordinates
+   come out of the DP exactly; middle segments contribute edit distance.
+4. **Aggregate** — per-pair distance = sum over segments; identity gate
+   dist <= (1 - min_identity) * span; PAF-shaped OverlapRecords out,
+   same conventions as models/overlap.py.
+
+Wall-clock is dominated by the Myers sweeps, which batch thousands of
+SEG-width segments per kernel launch regardless of read length — the
+"anchor-chained segment DPs reusing the short-query kernel" plan of
+SURVEY.md §8.3/ROADMAP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io.encode import PackedReads, unpack_codes
+from hga_tpu.models.overlap import (OverlapRecords, SENT_BASE, default_edit,
+                                    _oriented_codes)
+from hga_tpu.models.seeding import extract_seed_entries
+
+log = logging.getLogger(__name__)
+
+SEG = 384          # query bases per segment (W = 13 Myers words)
+SLACK = 32         # target window slack beyond the anchored span, per side
+
+
+@dataclasses.dataclass
+class SeedIndex:
+    """Host-side sorted minimizer index over one read set (SURVEY.md C6).
+
+    The reference keeps a hash-map seed index; at judged scale the bounded
+    device self-join would materialize O(N * max_freq) pair slots at once
+    (ROADMAP round-1 limit), so candidate GENERATION streams through this
+    sorted index in read-aligned chunks while all DP stays on device.
+    """
+
+    srt_key: np.ndarray     # uint64 (hi<<32|lo), sorted
+    srt_read: np.ndarray
+    srt_pos: np.ndarray
+    srt_strand: np.ndarray
+    run_start: np.ndarray   # first sorted slot of each distinct k-mer
+    run_len: np.ndarray
+    run_of_slot: np.ndarray
+
+
+def build_seed_index(pr: PackedReads, cfg: AssemblerConfig,
+                     solid=None) -> SeedIndex:
+    ent = extract_seed_entries(pr, cfg)
+    hi, lo = ent.hi, ent.lo
+    keepm = None
+    if solid is not None and cfg.use_solid_seeds:
+        from hga_tpu.models.seeding import solid_mask
+
+        keepm = solid_mask(hi, lo, solid)
+        log.info("index: %d/%d seeds are solid", int(keepm.sum()), keepm.size)
+    key = (hi.astype(np.uint64) << 32) | lo.astype(np.uint64)
+    if keepm is not None:
+        key = key[keepm]
+        ent = type(ent)(hi=hi[keepm], lo=lo[keepm], read=ent.read[keepm],
+                        pos=ent.pos[keepm], strand=ent.strand[keepm])
+    order = np.argsort(key, kind="stable")
+    srt_key = key[order]
+    rnew = np.ones(srt_key.shape[0], bool)
+    rnew[1:] = srt_key[1:] != srt_key[:-1]
+    run_start = np.nonzero(rnew)[0]
+    run_len = np.diff(np.append(run_start, srt_key.shape[0]))
+    return SeedIndex(
+        srt_key=srt_key, srt_read=ent.read[order], srt_pos=ent.pos[order],
+        srt_strand=ent.strand[order], run_start=run_start, run_len=run_len,
+        run_of_slot=np.cumsum(rnew) - 1)
+
+
+def find_candidates_cross_indexed(
+    pr_a: PackedReads,          # short reads (index side)
+    pr_b: PackedReads,          # backbones (query side)
+    cfg: AssemblerConfig,
+    solid=None,
+    index: Optional[SeedIndex] = None,
+    chunk_reads: int = 256,
+    depth_cap: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Scalable cross candidates (same output contract as
+    models.correction.find_candidates_cross): sorted short-read index,
+    backbone reads streamed in chunks, per-(a, b, rel) aggregation to a
+    median diagonal — memory bounded by the chunk, not the read set.
+
+    depth_cap > 0 keeps at most depth_cap * len_b / mean_len_a pairs per
+    backbone (highest shared-seed counts win): a pileup only needs bounded
+    depth, and at coverage 30 x 20 the uncapped candidate count is the
+    judged-scale wall-clock driver.
+    """
+    idx = index or build_seed_index(pr_a, cfg, solid=solid)
+    eb = extract_seed_entries(pr_b, cfg)
+    key_b = (eb.hi.astype(np.uint64) << 32) | eb.lo.astype(np.uint64)
+    S = idx.srt_key.shape[0]
+    slot = np.searchsorted(idx.srt_key, key_b)
+    hit = (slot < S) & (idx.srt_key[np.clip(slot, 0, S - 1)] == key_b)
+    run = idx.run_of_slot[np.clip(slot, 0, S - 1)]
+    freq = np.where(hit, idx.run_len[run], 0)
+    take_all = np.where(freq > cfg.max_seed_freq, 0,
+                        np.minimum(freq, cfg.max_seed_freq))
+    k = cfg.k
+    mean_la = float(pr_a.length.mean()) if pr_a.n_reads else 1.0
+
+    outs_a, outs_b, outs_rel, outs_diag = [], [], [], []
+    for b_lo in range(0, pr_b.n_reads, chunk_reads):
+        b_hi = min(pr_b.n_reads, b_lo + chunk_reads)
+        m = (eb.read >= b_lo) & (eb.read < b_hi)
+        take = take_all[m]
+        total = int(take.sum())
+        if total == 0:
+            continue
+        eidx = np.repeat(np.arange(take.shape[0]), take)
+        within = np.arange(total) - np.repeat(np.cumsum(take) - take, take)
+        sl = idx.run_start[run[m]][eidx] + within
+        a = idx.srt_read[sl].astype(np.int64)
+        b = eb.read[m][eidx].astype(np.int64)
+        rel = (idx.srt_strand[sl] != eb.strand[m][eidx]).astype(np.int32)
+        pa = idx.srt_pos[sl].astype(np.int64)
+        pb = eb.pos[m][eidx].astype(np.int64)
+        lb = pr_b.length[b].astype(np.int64)
+        pb_adj = np.where(rel == 1, lb - k - pb, pb)
+        diag = pa - pb_adj
+        # aggregate per (a, b, rel): shared count + median diagonal
+        order = np.lexsort((diag, rel, b, a))
+        a, b, rel, diag = a[order], b[order], rel[order], diag[order]
+        gnew = np.ones(total, bool)
+        gnew[1:] = ((a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                    | (rel[1:] != rel[:-1]))
+        g_first = np.nonzero(gnew)[0]
+        g_len = np.diff(np.append(g_first, total))
+        keep = g_len >= cfg.min_shared_minimizers
+        med = g_first + g_len // 2
+        ga, gb = a[g_first][keep], b[g_first][keep]
+        grel = rel[g_first][keep]
+        gdiag = diag[med][keep]
+        gcnt = g_len[keep]
+        if depth_cap > 0 and ga.size:
+            cap_b = np.maximum(
+                1, (depth_cap * pr_b.length[gb].astype(np.int64))
+                // max(int(mean_la), 1))
+            o2 = np.lexsort((-gcnt, gb))
+            gb_s = gb[o2]
+            bnew = np.ones(gb_s.shape[0], bool)
+            bnew[1:] = gb_s[1:] != gb_s[:-1]
+            first = np.nonzero(bnew)[0]
+            rank = np.arange(gb_s.shape[0]) - np.repeat(
+                first, np.diff(np.append(first, gb_s.shape[0])))
+            sel = o2[rank < cap_b[o2]]
+            ga, gb, grel, gdiag = ga[sel], gb[sel], grel[sel], gdiag[sel]
+        outs_a.append(ga)
+        outs_b.append(gb)
+        outs_rel.append(grel)
+        outs_diag.append(gdiag)
+
+    cat = lambda xs, dt: (np.concatenate(xs).astype(dt) if xs
+                          else np.zeros(0, dt))
+    a = cat(outs_a, np.int32)
+    log.info("cross-indexed: %d candidate pairs", a.size)
+    return (a, cat(outs_b, np.int32), cat(outs_rel, np.int32),
+            cat(outs_diag, np.int32))
+
+
+def _anchors_for_chunk(q_lo: int, q_hi: int,
+                       ent_read, ent_pos, ent_strand, srt_key, srt_read,
+                       srt_pos, srt_strand, run_start, run_len, ent_run,
+                       read_len, k: int, max_freq: int):
+    """All anchors (q, t, rel, pos_q, pos_t_oriented) with q in [q_lo, q_hi)
+    and t > q, via vectorized run expansion over the sorted index."""
+    qm = (ent_read >= q_lo) & (ent_read < q_hi)
+    runs = ent_run[qm]
+    freq = run_len[runs]
+    take = np.minimum(freq, max_freq)
+    take = np.where(freq > max_freq, 0, take)       # repeat mask: drop runs
+    total = int(take.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z.astype(np.int32), z, z
+    # expansion: anchor i of query-entry e pairs it with index slot
+    # run_start[run] + i
+    eidx = np.repeat(np.arange(runs.shape[0]), take)
+    within = np.arange(total) - np.repeat(np.cumsum(take) - take, take)
+    slot = run_start[runs][eidx] + within
+    q = ent_read[qm][eidx].astype(np.int64)
+    t = srt_read[slot].astype(np.int64)
+    pos_q = ent_pos[qm][eidx].astype(np.int64)
+    pos_t = srt_pos[slot].astype(np.int64)
+    rel = (ent_strand[qm][eidx] != srt_strand[slot]).astype(np.int32)
+    keep = t > q
+    q, t, rel, pos_q, pos_t = (q[keep], t[keep], rel[keep],
+                               pos_q[keep], pos_t[keep])
+    lt = read_len[t].astype(np.int64)
+    pos_t = np.where(rel == 1, lt - k - pos_t, pos_t)   # orient t's frame
+    return q, t, rel, pos_q, pos_t
+
+
+def _chain_representatives(q, t, rel, pos_q, pos_t, min_shared: int):
+    """Group anchors per (q, t, rel); pick the diagonal-median anchor per
+    SEG-bucket of the query axis.  Returns per-representative arrays plus
+    the group id / boundaries (groups sorted, reps sorted by pos_q)."""
+    diag = pos_q - pos_t
+    order = np.lexsort((diag, pos_q // SEG, rel, t, q))
+    q, t, rel, pos_q, pos_t, diag = (x[order] for x in
+                                     (q, t, rel, pos_q, pos_t, diag))
+    bucket = pos_q // SEG
+    gnew = np.ones(q.shape[0], bool)
+    gnew[1:] = (q[1:] != q[:-1]) | (t[1:] != t[:-1]) | (rel[1:] != rel[:-1])
+    gid = np.cumsum(gnew) - 1
+    # shared-anchor count per group
+    cnt = np.bincount(gid)
+    ok_group = cnt >= min_shared
+    # bucket runs inside groups (anchors are diag-sorted within a bucket)
+    bnew = gnew.copy()
+    bnew[1:] |= bucket[1:] != bucket[:-1]
+    bid = np.cumsum(bnew) - 1
+    bstart = np.nonzero(bnew)[0]
+    blen = np.diff(np.append(bstart, q.shape[0]))
+    rep = bstart + blen // 2                    # diagonal median per bucket
+    keep = ok_group[gid[rep]]
+    rep = rep[keep]
+    return (q[rep], t[rep], rel[rep], pos_q[rep], pos_t[rep], gid[rep])
+
+
+def compute_overlaps_long(
+    pr: PackedReads,
+    cfg: AssemblerConfig,
+    edit_fn=None,
+    mesh=None,
+    chunk_reads: int = 512,
+    seg_batch: int = 4096,
+) -> OverlapRecords:
+    """All-vs-all overlaps of a LONG read set (multi-kb pads)."""
+    edit = edit_fn or default_edit(cfg, mesh)
+    k = cfg.k
+    n = pr.n_reads
+    read_len = pr.length.astype(np.int64)
+
+    # ---- sorted minimizer index (host arrays; one global sort) ----
+    ent = extract_seed_entries(pr, cfg)
+    key = (ent.hi.astype(np.uint64) << 32) | ent.lo.astype(np.uint64)
+    order = np.argsort(key, kind="stable")
+    srt_key = key[order]
+    srt_read = ent.read[order]
+    srt_pos = ent.pos[order]
+    srt_strand = ent.strand[order]
+    rnew = np.ones(srt_key.shape[0], bool)
+    rnew[1:] = srt_key[1:] != srt_key[:-1]
+    run_id_sorted = np.cumsum(rnew) - 1
+    run_start = np.nonzero(rnew)[0]
+    run_len = np.diff(np.append(run_start, srt_key.shape[0]))
+    ent_run = np.empty(srt_key.shape[0], np.int64)
+    ent_run[order] = run_id_sorted                # run id per ORIGINAL entry
+
+    codes = unpack_codes(pr.packed).astype(np.int32)
+    Lpad = codes.shape[1]
+    codes[np.arange(Lpad)[None, :] >= pr.length[:, None]] = SENT_BASE
+
+    out = {f: [] for f in ("a", "b", "rel", "score", "a_start", "a_end",
+                           "b_start", "b_end", "dist")}
+
+    for q_lo in range(0, n, chunk_reads):
+        q_hi = min(n, q_lo + chunk_reads)
+        a_q, a_t, a_rel, a_pq, a_pt = _anchors_for_chunk(
+            q_lo, q_hi, ent.read, ent.pos, ent.strand, srt_key, srt_read,
+            srt_pos, srt_strand, run_start, run_len, ent_run, read_len,
+            k, cfg.max_seed_freq)
+        if a_q.size == 0:
+            continue
+        rq, rt, rrel, rpq, rpt, rgid = _chain_representatives(
+            a_q, a_t, a_rel, a_pq, a_pt, cfg.min_shared_minimizers)
+        if rq.size == 0:
+            continue
+        res = _align_chains(rq, rt, rrel, rpq, rpt, rgid, codes, read_len,
+                            cfg, edit, k, seg_batch)
+        for f in out:
+            out[f].append(res[f])
+
+    cat = {f: (np.concatenate(v).astype(np.int32) if v
+               else np.zeros(0, np.int32)) for f, v in out.items()}
+    rec = OverlapRecords(
+        a_len=pr.length[cat["a"]].astype(np.int32),
+        b_len=pr.length[cat["b"]].astype(np.int32), **cat)
+    log.info("overlap-long: %d overlaps", rec.n)
+    return rec
+
+
+def _align_chains(rq, rt, rrel, rpq, rpt, rgid, codes, read_len, cfg, edit,
+                  k: int, seg_batch: int):
+    """Cut each chain into segments, run batched Myers, aggregate per pair."""
+    # group boundaries over representatives (gid sorted)
+    gnew = np.ones(rq.shape[0], bool)
+    gnew[1:] = rgid[1:] != rgid[:-1]
+    g_first = np.nonzero(gnew)[0]
+    g_len = np.diff(np.append(g_first, rq.shape[0]))
+    n_pairs = g_first.shape[0]
+    pair_of_rep = np.cumsum(gnew) - 1
+
+    la = read_len[rq[g_first]]
+    lb = read_len[rt[g_first]]
+    d_first = rpq[g_first] - rpt[g_first]
+    last = g_first + g_len - 1
+    d_last = rpq[last] - rpt[last]
+    # chain span extended to the read ends along the local end diagonals,
+    # clipped by target availability (same segment algebra as the gate)
+    qs = np.maximum(0, d_first)
+    qe = np.minimum(la, lb + d_last)
+    valid_pair = qe - qs >= cfg.min_overlap_len
+
+    # ---- segment table ----
+    # one segment per (rep boundary): [prev_cut, cut) on the query axis;
+    # cut points = rep positions, plus the extended ends
+    seg_pair, seg_q0, seg_q1, seg_t0, seg_t1, seg_kind = [], [], [], [], [], []
+    # vectorized: segment i spans reps (i-1, i) inside a group; ends are
+    # handled by substituting the extended bounds
+    rep_q = rpq
+    rep_t = rpt
+    prev = np.arange(rq.shape[0]) - 1
+    is_first = gnew
+    pid = pair_of_rep
+    # inner segments: from rep[prev] to rep[i] (same group, not first)
+    inner = ~is_first
+    if inner.any():
+        seg_pair.append(pid[inner])
+        seg_q0.append(rep_q[prev[inner]])
+        seg_q1.append(rep_q[inner] + k)
+        seg_t0.append(rep_t[prev[inner]])
+        seg_t1.append(rep_t[inner] + k)
+        seg_kind.append(np.zeros(int(inner.sum()), np.int8))
+    # head segment: extended start -> first rep (aligned REVERSED: free
+    # target start becomes a free end, giving the exact b_start)
+    seg_pair.append(pid[g_first])
+    seg_q0.append(qs)
+    seg_q1.append(rep_q[g_first] + k)
+    seg_t0.append(qs - d_first)
+    seg_t1.append(rep_t[g_first] + k)
+    seg_kind.append(np.full(n_pairs, 1, np.int8))
+    # tail segment: last rep -> extended end (free target end -> exact b_end)
+    seg_pair.append(pid[last])
+    seg_q0.append(rep_q[last])
+    seg_q1.append(qe)
+    seg_t0.append(rep_t[last])
+    seg_t1.append(qe - d_last)
+    seg_kind.append(np.full(n_pairs, 2, np.int8))
+
+    seg_pair = np.concatenate(seg_pair)
+    seg_q0 = np.concatenate(seg_q0)
+    seg_q1 = np.concatenate(seg_q1)
+    seg_t0 = np.concatenate(seg_t0)
+    seg_t1 = np.concatenate(seg_t1)
+    seg_kind = np.concatenate(seg_kind)
+
+    # drop degenerate/invalid segments and segments of invalid pairs
+    ok = (seg_q1 > seg_q0) & valid_pair[seg_pair]
+    seg_pair, seg_q0, seg_q1, seg_t0, seg_t1, seg_kind = (
+        x[ok] for x in (seg_pair, seg_q0, seg_q1, seg_t0, seg_t1, seg_kind))
+
+    Lq_seg = SEG + 2 * k                      # static query capacity
+    Wt_seg = Lq_seg + 2 * SLACK
+    # long head/tail extensions get split to the capacity; the split parts
+    # lose anchor accuracy but stay within slack for clean data — clamp
+    too_long = seg_q1 - seg_q0 > Lq_seg
+    seg_q0 = np.where(too_long & (seg_kind == 1), seg_q1 - Lq_seg, seg_q0)
+    seg_q1 = np.where(too_long & (seg_kind == 2), seg_q0 + Lq_seg, seg_q1)
+    seg_t0 = np.where(too_long & (seg_kind == 1), seg_t1 - Lq_seg, seg_t0)
+    seg_t1 = np.where(too_long & (seg_kind == 2), seg_t0 + Lq_seg, seg_t1)
+    clamped = seg_q1 - seg_q0 > Lq_seg        # oversized inner: band fallback
+    seg_q1 = np.where(clamped, seg_q0 + Lq_seg, seg_q1)
+    seg_t1 = np.where(clamped, seg_t0 + Lq_seg, seg_t1)
+    # write clamped end-extensions back so the claimed overlap span matches
+    # what was actually aligned (coords and identity stay consistent)
+    hsel = seg_kind == 1
+    tsel = seg_kind == 2
+    qs = qs.copy()
+    qe = qe.copy()
+    qs[seg_pair[hsel]] = seg_q0[hsel]
+    qe[seg_pair[tsel]] = seg_q1[tsel]
+
+    n_seg = seg_pair.shape[0]
+    dist_sum = np.zeros(n_pairs, np.int64)
+    t_begin = np.zeros(n_pairs, np.int64)     # exact b_start (oriented)
+    t_end = np.zeros(n_pairs, np.int64)       # exact b_end (oriented)
+
+    # per-pair oriented target codes are gathered lazily per batch
+    rel_of_pair = rrel[g_first]
+    q_of_pair = rq[g_first]
+    t_of_pair = rt[g_first]
+
+    Lpad = codes.shape[1]
+    for s in range(0, n_seg, seg_batch):
+        sl = slice(s, min(n_seg, s + seg_batch))
+        p = seg_pair[sl]
+        nbv = p.shape[0]
+        P = seg_batch
+        q0v = np.pad(seg_q0[sl], (0, P - nbv))
+        q1v = np.pad(seg_q1[sl], (0, P - nbv))
+        t0v = np.pad(seg_t0[sl], (0, P - nbv))
+        kindv = np.pad(seg_kind[sl], (0, P - nbv))
+        pv = np.pad(p, (0, P - nbv))
+
+        qid = q_of_pair[pv]
+        tid = t_of_pair[pv]
+        relv = rel_of_pair[pv]
+        lbv = read_len[tid]
+        seglen = np.where(np.arange(P) < nbv, q1v - q0v, 0).astype(np.int64)
+
+        # query window [q0, q1)
+        xs = np.arange(Lq_seg)[None, :]
+        qidx = xs + q0v[:, None]
+        qwin = np.where(xs < seglen[:, None],
+                        _take2(codes, qid, np.clip(qidx, 0, Lpad - 1)),
+                        SENT_BASE).astype(np.int32)
+        # oriented target window starting at t0 - SLACK
+        t_or0 = t0v - SLACK
+        tpos = np.arange(Wt_seg)[None, :] + t_or0[:, None]
+        t_or = _oriented_take(codes, tid, relv, lbv, tpos, Lpad)
+        # reversed alignment for head segments: exact start coordinate
+        head = kindv == 1
+        qwin = np.where(head[:, None], _rev_rows(qwin, seglen), qwin)
+        twin_len = np.minimum(seglen + 2 * SLACK, Wt_seg)
+        t_or = np.where(head[:, None],
+                        _rev_rows(t_or, twin_len), t_or)
+
+        r = edit(jnp.asarray(qwin), jnp.asarray(t_or),
+                 jnp.asarray(seglen.astype(np.int32)),
+                 jnp.asarray(twin_len.astype(np.int32)))
+        dist = np.asarray(r.dist).astype(np.int64)[:nbv]
+        tend = np.asarray(r.tend).astype(np.int64)[:nbv]
+
+        pb = p
+        np.add.at(dist_sum, pb, dist)
+        hb = head[:nbv]
+        tb = kindv[:nbv] == 2
+        # forward tail: window position tend-1 is the last aligned column
+        t_end[pb[tb]] = (t_or0[:nbv][tb]) + tend[tb]
+        # reversed head: window col x maps to t_or0 + twin_len - 1 - x
+        t_begin[pb[hb]] = (t_or0[:nbv][hb] + twin_len[:nbv][hb]) - tend[hb]
+
+    identity_den = np.maximum(qe - qs, 1)
+    max_ed = np.floor((1.0 - cfg.min_identity) * identity_den).astype(np.int64)
+    keep = valid_pair & (dist_sum <= max_ed)
+
+    a = q_of_pair[keep]
+    b = t_of_pair[keep]
+    rel = rel_of_pair[keep]
+    lbk = read_len[b]
+    b_or_s = np.clip(t_begin[keep], 0, lbk)
+    b_or_e = np.clip(t_end[keep], b_or_s, lbk)
+    b_fwd_s = np.where(rel == 1, lbk - b_or_e, b_or_s)
+    b_fwd_e = np.where(rel == 1, lbk - b_or_s, b_or_e)
+    span = (qe - qs)[keep]
+    matches = np.maximum(span - dist_sum[keep], 0)
+    return dict(a=a, b=b, rel=rel,
+                score=(cfg.match * matches).astype(np.int64),
+                a_start=qs[keep], a_end=qe[keep],
+                b_start=b_fwd_s, b_end=b_fwd_e, dist=dist_sum[keep])
+
+
+def _take2(codes, rows, cols):
+    return codes[rows[:, None], cols]
+
+
+def _oriented_take(codes, tid, rel, lb, tpos, Lpad):
+    """t_or[i, x] = oriented(codes[tid[i]])[tpos[i, x]] with SENT padding."""
+    fw = tpos
+    rv = lb[:, None] - 1 - tpos
+    pos = np.where(rel[:, None] == 1, rv, fw)
+    valid = (pos >= 0) & (pos < lb[:, None])
+    vals = _take2(codes, tid, np.clip(pos, 0, Lpad - 1))
+    vals = np.where(rel[:, None] == 1,
+                    np.where(vals < 4, 3 - vals, SENT_BASE), vals)
+    return np.where(valid, vals, SENT_BASE).astype(np.int32)
+
+
+def _rev_rows(arr, lens):
+    """Reverse the first lens[i] entries of each row (rest SENT)."""
+    P, L = arr.shape
+    idx = lens[:, None] - 1 - np.arange(L)[None, :]
+    out = np.where(idx >= 0,
+                   np.take_along_axis(arr, np.clip(idx, 0, L - 1), 1),
+                   SENT_BASE)
+    return out.astype(arr.dtype)

@@ -233,28 +233,44 @@ def run_pipeline(
     if asm_reads is None:
         raise ValueError("no reads given")
 
-    # --- stage: candidates (config 2) ---
-    if st.fresh("candidates", inputs) and os.path.exists(path("candidates.npz")):
-        cands = SeedingResult.load(path("candidates.npz"))
-    else:
-        t0 = time.perf_counter()
-        # solid-seed masking applies when assembling the short reads
-        # directly; corrected long reads keep all seeds (residual
-        # errors must not break their mutual overlaps)
-        cands = find_candidates(
-            asm_reads, cfg, solid=solid if pr_long is None else None)
-        cands.save(path("candidates.npz"))
-        st.done("candidates", t0, inputs)
-    st.stats["candidates"] = {"n": cands.n_pairs}
+    from hga_tpu.ops.align_pallas import MAX_QUERY_LEN
 
-    # --- stage: overlaps (config 3) ---
-    if st.fresh("overlaps", inputs) and os.path.exists(path("overlaps.npz")):
-        ov = OverlapRecords.load(path("overlaps.npz"))
+    long_mode = asm_reads.pad_len > MAX_QUERY_LEN
+    if long_mode:
+        # long-read path: anchor chaining + segment DPs live inside
+        # compute_overlaps_long (component C8) — no separate candidate stage
+        if st.fresh("overlaps", inputs) and os.path.exists(path("overlaps.npz")):
+            ov = OverlapRecords.load(path("overlaps.npz"))
+        else:
+            from hga_tpu.models.overlap_long import compute_overlaps_long
+
+            t0 = time.perf_counter()
+            ov = compute_overlaps_long(asm_reads, cfg, mesh=mesh)
+            ov.save(path("overlaps.npz"))
+            st.done("overlaps", t0, inputs)
     else:
-        t0 = time.perf_counter()
-        ov = compute_overlaps(asm_reads, cands, cfg, mesh=mesh)
-        ov.save(path("overlaps.npz"))
-        st.done("overlaps", t0, inputs)
+        # --- stage: candidates (config 2) ---
+        if st.fresh("candidates", inputs) and os.path.exists(path("candidates.npz")):
+            cands = SeedingResult.load(path("candidates.npz"))
+        else:
+            t0 = time.perf_counter()
+            # solid-seed masking applies when assembling the short reads
+            # directly; corrected long reads keep all seeds (residual
+            # errors must not break their mutual overlaps)
+            cands = find_candidates(
+                asm_reads, cfg, solid=solid if pr_long is None else None)
+            cands.save(path("candidates.npz"))
+            st.done("candidates", t0, inputs)
+        st.stats["candidates"] = {"n": cands.n_pairs}
+
+        # --- stage: overlaps (config 3) ---
+        if st.fresh("overlaps", inputs) and os.path.exists(path("overlaps.npz")):
+            ov = OverlapRecords.load(path("overlaps.npz"))
+        else:
+            t0 = time.perf_counter()
+            ov = compute_overlaps(asm_reads, cands, cfg, mesh=mesh)
+            ov.save(path("overlaps.npz"))
+            st.done("overlaps", t0, inputs)
     st.stats["overlaps"] = {"n": ov.n}
 
     # --- stage: assembly (config 4) ---

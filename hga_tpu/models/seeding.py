@@ -65,6 +65,18 @@ class SeedingResult:
                              shared=z["shared"], overflow=int(z["overflow"]))
 
 
+def solid_mask(hi: np.ndarray, lo: np.ndarray, solid) -> np.ndarray:
+    """Membership of seed k-mers in the solid set (device sorted-merge)."""
+    from hga_tpu.ops.count import member_sorted
+
+    s_hi, s_lo = solid
+    return np.asarray(member_sorted(
+        jnp.asarray(s_hi.astype(np.uint32)),
+        jnp.asarray(s_lo.astype(np.uint32)),
+        jnp.asarray(hi.astype(np.uint32)),
+        jnp.asarray(lo.astype(np.uint32))))
+
+
 def _minimizer_batch_fn(k: int, w: int):
     @jax.jit
     def f(packed, bad, length):
@@ -127,9 +139,7 @@ def find_candidates(
     ent = extract_seed_entries(pr, cfg, idx)
     ent_hi, ent_lo = ent.hi, ent.lo
     if solid is not None and cfg.use_solid_seeds:
-        from hga_tpu.models.correction import _solid_mask
-
-        keep = _solid_mask(ent_hi, ent_lo, solid)
+        keep = solid_mask(ent_hi, ent_lo, solid)
         log.info("seeding: %d/%d seeds are solid", int(keep.sum()), keep.size)
         ent_hi = np.where(keep, ent_hi, np.uint32(0xFFFFFFFF))
         ent_lo = np.where(keep, ent_lo, np.uint32(0xFFFFFFFF))

@@ -60,3 +60,65 @@ def evaluate_contigs(contigs: List[Tuple[str, str]], reference: str,
         identity=hit / tot if tot else 0.0,
         genome_fraction=covered / len(ref_only) if ref_only else 0.0,
     )
+
+
+def exact_contig_match(contigs: List[Tuple[str, str]],
+                       ref_contigs: List[Tuple[str, str]]) -> Dict:
+    """Byte-for-byte contig-set comparison (the reference-parity harness,
+    SURVEY.md §5.3 / §8.1-M6: 'bit-identical contigs').
+
+    Contigs compare as unordered SETS of strand-canonical sequences
+    (min(seq, revcomp(seq))) — naming and orientation are presentation;
+    the bases are the contract.
+    """
+    ours = {min(s, revcomp_str(s)) for _, s in contigs}
+    theirs = {min(s, revcomp_str(s)) for _, s in ref_contigs}
+    return dict(
+        exact_match=ours == theirs,
+        n_ours=len(ours),
+        n_ref=len(theirs),
+        matched=len(ours & theirs),
+        only_ours=len(ours - theirs),
+        only_ref=len(theirs - ours),
+    )
+
+
+def alignment_identity(contigs: List[Tuple[str, str]], reference: str,
+                       min_identity: float = 0.5) -> Dict[str, float]:
+    """TRUE alignment identity of each contig vs the reference genome.
+
+    Reuses the production long-read engine (models/overlap_long.py): the
+    reference genome is packed as read 0, every contig as a further read;
+    anchor-chained segment edit distance gives per-contig dist/span, i.e.
+    an alignment-based identity the k-mer metric cannot provide
+    (SURVEY.md §5.3 north-star support).
+    """
+    from hga_tpu.config import AssemblerConfig
+    from hga_tpu.io.encode import pack_reads
+    from hga_tpu.models.overlap_long import compute_overlaps_long
+
+    if not contigs:
+        return dict(aligned_fraction=0.0, alignment_identity=0.0)
+    seqs = [reference] + [s for _, s in contigs]
+    pad = ((max(len(s) for s in seqs) + 31) // 32) * 32
+    pr = pack_reads(seqs, names=["ref"] + [n for n, _ in contigs],
+                    pad_len=pad)
+    cfg = AssemblerConfig(k=17, w=8, min_shared_minimizers=3,
+                          min_overlap_len=64, min_identity=min_identity)
+    ov = compute_overlaps_long(pr, cfg)
+    # per contig: best (longest-span) alignment against read 0
+    best_span = np.zeros(len(contigs), np.int64)
+    best_dist = np.zeros(len(contigs), np.int64)
+    for r in range(ov.n):
+        if int(ov.a[r]) != 0:
+            continue
+        c = int(ov.b[r]) - 1
+        span = int(ov.b_end[r] - ov.b_start[r])
+        if span > best_span[c]:
+            best_span[c] = span
+            best_dist[c] = int(ov.dist[r])
+    lens = np.array([len(s) for _, s in contigs], np.int64)
+    aligned = best_span.sum() / max(lens.sum(), 1)
+    ident = 1.0 - best_dist.sum() / max(best_span.sum(), 1)
+    return dict(aligned_fraction=float(aligned),
+                alignment_identity=float(max(ident, 0.0)))

@@ -101,3 +101,32 @@ def test_assembly_with_read_errors():
     longest = max(len(s) for _, s in res.contigs)
     # errorful assembly won't be perfect, but must recover a long contig
     assert longest >= 1000
+
+
+def test_gfa_has_link_records():
+    import numpy as np
+
+    from hga_tpu.config import AssemblerConfig
+    from hga_tpu.io.encode import pack_reads
+    from hga_tpu.models.assembly import assemble
+    from hga_tpu.models.overlap import compute_overlaps
+    from hga_tpu.models.seeding import find_candidates
+    from hga_tpu.utils import sim
+
+    cfg = AssemblerConfig(k=15, w=5, band=32, batch_reads=256,
+                          min_shared_minimizers=2, min_overlap_len=30)
+    g = sim.random_genome(1500, seed=4)
+    seqs, names = sim.simulate_short_reads(g, coverage=15, read_len=120,
+                                           error_rate=0.0, seed=5)
+    pr = pack_reads(seqs, names=names, pad_len=128)
+    cands = find_candidates(pr, cfg)
+    ov = compute_overlaps(pr, cands, cfg)
+    res = assemble(pr, ov, cfg)
+    assert res.contigs
+    gfa = res.to_gfa(pr.names, pr.length)
+    l_lines = [l for l in gfa.splitlines() if l.startswith("L\t")]
+    assert len(l_lines) > 0
+    # L format: L <from> <orient> <to> <orient> <overlap>M
+    parts = l_lines[0].split("\t")
+    assert len(parts) == 6 and parts[5].endswith("M")
+    assert int(parts[5][:-1]) > 0

@@ -1,0 +1,84 @@
+"""Anchor-chained segment-DP long-read overlaps (component C8 + long L3).
+
+The key property the round-1 single-diagonal band could NOT deliver: noisy
+multi-kb reads whose indel drift exceeds the band still produce overlaps,
+because each SEG bucket re-anchors the local diagonal.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io.encode import pack_reads
+from hga_tpu.models.overlap_long import compute_overlaps_long
+from hga_tpu.utils import sim
+
+
+def _truth(names):
+    out = []
+    for n in names:
+        _, i, s, strand, L = n.split("_")
+        out.append((int(s), int(strand)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def long_reads():
+    genome = sim.random_genome(30_000, seed=21)
+    seqs, names = sim.simulate_long_reads(
+        genome, coverage=6, mean_len=6000, min_len=3000,
+        error_rate=0.04, seed=22)
+    pad = ((max(len(s) for s in seqs) + 15) // 16) * 16
+    pr = pack_reads(seqs, names=names, pad_len=pad)
+    return genome, pr, names, seqs
+
+
+def test_long_overlaps_found_with_drift(long_reads):
+    genome, pr, names, seqs = long_reads
+    cfg = AssemblerConfig(k=15, w=8, min_shared_minimizers=4,
+                          min_overlap_len=500, min_identity=0.80)
+    ov = compute_overlaps_long(pr, cfg)
+    assert ov.n > 0
+    # ground truth: genome intervals per read
+    t = _truth(names)
+    found = 0
+    true_pairs = 0
+    ivals = [(s, s + len(seq)) for (s, _), seq in zip(t, seqs)]
+    got = {(int(a), int(b)) for a, b in zip(ov.a, ov.b)}
+    for i in range(pr.n_reads):
+        for j in range(i + 1, pr.n_reads):
+            olap = min(ivals[i][1], ivals[j][1]) - max(ivals[i][0], ivals[j][0])
+            if olap >= 1500:   # comfortably above min_overlap_len
+                true_pairs += 1
+                if (i, j) in got:
+                    found += 1
+    assert true_pairs > 5
+    assert found / true_pairs >= 0.9, (found, true_pairs)
+    # identity sane: 4% error pairwise -> <= ~8-10% edit rate, >= min_identity
+    ident = ov.identity()
+    assert (ident >= 0.80).all()
+    # 4% per-read error means a 6 kb overlap drifts far beyond band=64:
+    # every accepted overlap must span well beyond what one band covers
+    assert int((ov.a_end - ov.a_start).max()) > 2000
+
+
+def test_long_overlap_coords_match_truth(long_reads):
+    genome, pr, names, seqs = long_reads
+    cfg = AssemblerConfig(k=15, w=8, min_shared_minimizers=4,
+                          min_overlap_len=500, min_identity=0.80)
+    ov = compute_overlaps_long(pr, cfg)
+    t = _truth(names)
+    # overlap length implied by genome positions vs reported span: the
+    # reported a-span must cover >= 80% of the true overlap
+    ok = 0
+    for r in range(ov.n):
+        i, j = int(ov.a[r]), int(ov.b[r])
+        gi = (t[i][0], t[i][0] + len(seqs[i]))
+        gj = (t[j][0], t[j][0] + len(seqs[j]))
+        true_olap = min(gi[1], gj[1]) - max(gi[0], gj[0])
+        span = int(ov.a_end[r] - ov.a_start[r])
+        if true_olap > 0 and span >= 0.8 * true_olap * (1 - 0.1):
+            ok += 1
+    assert ok / max(ov.n, 1) >= 0.9

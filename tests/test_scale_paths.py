@@ -1,0 +1,66 @@
+"""Judged-scale machinery on small inputs: indexed candidate route and
+length-bucketed correction must agree with the direct paths."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from hga_tpu.config import AssemblerConfig
+from hga_tpu.io.encode import pack_reads
+from hga_tpu.models.correction import correct_long_reads, find_candidates_cross
+from hga_tpu.models.overlap_long import (build_seed_index,
+                                         find_candidates_cross_indexed)
+from hga_tpu.utils import sim
+from hga_tpu.utils.evalx import evaluate_contigs
+
+
+@pytest.fixture(scope="module")
+def ds():
+    d = sim.make_dataset(genome_len=2500, short_cov=25, long_cov=10, seed=13,
+                         short_err=0.005, long_err=0.09)
+    pr_s = pack_reads(d.short_seqs, names=d.short_names, pad_len=128)
+    pad = ((max(len(s) for s in d.long_seqs) + 31) // 32) * 32
+    pr_l = pack_reads(d.long_seqs, names=d.long_names,
+                      category=[1] * len(d.long_seqs), pad_len=pad)
+    return d, pr_s, pr_l
+
+
+def test_indexed_route_matches_device_join(ds):
+    d, pr_s, pr_l = ds
+    cfg = AssemblerConfig(k=15, w=5, min_shared_minimizers=3)
+    a0, b0, r0, _ = find_candidates_cross(pr_s, pr_l, cfg)
+    a1, b1, r1, _ = find_candidates_cross_indexed(pr_s, pr_l, cfg)
+    s0 = {(int(x), int(y), int(z)) for x, y, z in zip(a0, b0, r0)}
+    s1 = {(int(x), int(y), int(z)) for x, y, z in zip(a1, b1, r1)}
+    # the two routes share the max_freq repeat mask and min_shared filter;
+    # their pair sets must agree (identical semantics, different engines)
+    assert len(s1 & s0) / max(len(s0), 1) > 0.99
+    assert len(s1 - s0) <= 0.01 * len(s1) + 1
+
+
+def test_depth_cap_bounds_candidates(ds):
+    d, pr_s, pr_l = ds
+    cfg = AssemblerConfig(k=15, w=5, min_shared_minimizers=2)
+    a0, b0, _, _ = find_candidates_cross_indexed(pr_s, pr_l, cfg, depth_cap=0)
+    a1, b1, _, _ = find_candidates_cross_indexed(pr_s, pr_l, cfg, depth_cap=5)
+    assert len(a1) < len(a0)
+    # per-backbone bound: ~5 * len_b / 100
+    cnt = np.bincount(b1, minlength=pr_l.n_reads)
+    cap = 5 * pr_l.length.astype(np.int64) // int(pr_s.length.mean()) + 1
+    assert (cnt <= cap).all()
+
+
+def test_bucketed_correction_matches_single_group(ds):
+    d, pr_s, pr_l = ds
+    cfg = AssemblerConfig(k=15, w=5, band=48, min_shared_minimizers=2)
+    one = correct_long_reads(pr_s, pr_l, cfg)                 # single group
+    many = correct_long_reads(pr_s, pr_l, cfg,
+                              max_cols=2 * pr_l.pad_len)      # ~2 reads/group
+    from hga_tpu.io.encode import unpack_read
+
+    seq_one = [unpack_read(one, i) for i in range(one.n_reads)]
+    seq_many = [unpack_read(many, i) for i in range(many.n_reads)]
+    assert seq_one == seq_many
+    ev = evaluate_contigs(list(zip(one.names, seq_one)), d.genome, k=15)
+    assert ev["identity"] > 0.93, ev
