@@ -64,6 +64,9 @@ class AssemblerConfig:
     # scale (cov 30 x 20) the uncapped alignment count is the wall-clock
     # driver.  Highest shared-seed-count candidates win.
     corr_depth_cap: int = 0
+    # alignments per correction device batch (larger amortizes the lockstep
+    # traceback scan; 4096 measured ~30% faster per-alignment than 1024)
+    corr_batch_pairs: int = 1024
 
     # --- orchestration (L6) ---
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices

@@ -246,7 +246,7 @@ def consensus_backbones(
     backbones: PackedReads,
     reads: PackedReads,
     cfg: AssemblerConfig,
-    batch_pairs: int = 1024,
+    batch_pairs: Optional[int] = None,
     min_score: Optional[int] = None,
     mesh=None,
     solid=None,
@@ -254,6 +254,8 @@ def consensus_backbones(
 ) -> List[str]:
     """Correct every backbone by short-read pileup consensus (device DP +
     device traceback + device scatter votes); returns corrected sequences."""
+    if batch_pairs is None:
+        batch_pairs = cfg.corr_batch_pairs
     nb = backbones.n_reads
     Lpad = backbones.pad_len
     if min_score is None:

@@ -35,6 +35,7 @@ from hga_tpu.config import AssemblerConfig
 from hga_tpu.io.encode import PackedReads, unpack_codes
 from hga_tpu.models.seeding import SeedingResult
 from hga_tpu.ops.align import SWResult, banded_sw_batch
+from hga_tpu.parallel.stream import pipelined_map
 
 log = logging.getLogger(__name__)
 
@@ -227,15 +228,24 @@ def _myers_gate(q, la, lb, diag, t_gather, nb, cfg, edit, Wt):
                      SENT_BASE).astype(np.int32)
     off_m = qs - diag - cfg.band // 2
     t_m = t_gather(off_m)
+    # dispatch only — the caller forces results a couple of batches later,
+    # overlapping this batch's device sweep with the next batch's host
+    # window gathers (parallel/stream.py PP analog)
     res = edit(jnp.asarray(q_seg), jnp.asarray(t_m),
                jnp.asarray(seg.astype(np.int32)),
                jnp.asarray(np.full(P, Wt, np.int32)))
+    return res, seg, qs
+
+
+def _gate_keep(res, seg, nb, cfg):
+    """Force a dispatched gate batch and apply the edit-rate threshold."""
+    P = seg.shape[0]
     dist = np.asarray(res.dist).astype(np.int64)
     max_ed = np.floor((1.0 - cfg.min_identity) * seg).astype(np.int64)
     keep = ((np.arange(P) < nb)
             & (seg >= cfg.min_overlap_len)
             & (dist <= max_ed))
-    return keep, dist, seg, qs
+    return keep[:nb], dist[:nb]
 
 
 def compute_overlaps(
@@ -268,25 +278,31 @@ def compute_overlaps(
     # don't pad a small candidate list up to a huge static batch; round to a
     # power of two so the number of distinct compiled shapes stays bounded
     bp = min(batch_pairs, max(8, 1 << (cands.n_pairs - 1).bit_length()))
+
+    def gate_batches():
+        for s in range(0, cands.n_pairs, bp):
+            a = cands.a[s : s + bp].astype(np.int64)
+            b = cands.b[s : s + bp].astype(np.int64)
+            rel = cands.rel[s : s + bp].astype(np.int32)
+            diag = cands.diag[s : s + bp].astype(np.int64)
+            nb = a.shape[0]
+            if nb < bp:
+                padn = bp - nb
+                a, b = np.pad(a, (0, padn)), np.pad(b, (0, padn))
+                rel, diag = np.pad(rel, (0, padn)), np.pad(diag, (0, padn))
+            la = lengths[a].astype(np.int64)
+            lb = lengths[b].astype(np.int64)
+            t_or = _oriented_codes(codes[b], lengths[b], rel == 1)
+            gather = lambda off: _window_gather(t_or, lb, off, Wt)
+            res, seg, _qs = _myers_gate(
+                codes[a], la, lb, diag, gather, nb, cfg, edit, Wt)
+            yield res, seg, nb
+
     g_keep, g_dist = [], []
-    for s in range(0, cands.n_pairs, bp):
-        a = cands.a[s : s + bp].astype(np.int64)
-        b = cands.b[s : s + bp].astype(np.int64)
-        rel = cands.rel[s : s + bp].astype(np.int32)
-        diag = cands.diag[s : s + bp].astype(np.int64)
-        nb = a.shape[0]
-        if nb < bp:
-            padn = bp - nb
-            a, b = np.pad(a, (0, padn)), np.pad(b, (0, padn))
-            rel, diag = np.pad(rel, (0, padn)), np.pad(diag, (0, padn))
-        la = lengths[a].astype(np.int64)
-        lb = lengths[b].astype(np.int64)
-        t_or = _oriented_codes(codes[b], lengths[b], rel == 1)
-        gather = lambda off: _window_gather(t_or, lb, off, Wt)
-        keep, dist, _seg, _qs = _myers_gate(
-            codes[a], la, lb, diag, gather, nb, cfg, edit, Wt)
-        g_keep.append(keep[:nb])
-        g_dist.append(dist[:nb])
+    for res, seg, nb in pipelined_map(lambda *b: b, gate_batches()):
+        keep, dist = _gate_keep(res, seg, nb, cfg)
+        g_keep.append(keep)
+        g_dist.append(dist)
     keep_all = np.concatenate(g_keep)
     dist_all = np.concatenate(g_dist)
     f_a = cands.a[keep_all].astype(np.int64)
@@ -438,28 +454,34 @@ def compute_overlaps_cross(
     # ---- pass 1: Myers gate ----
     n0 = len(a)
     bp = min(batch_pairs, max(8, 1 << (n0 - 1).bit_length()))
+
+    def gate_batches():
+        for s in range(0, n0, bp):
+            aa = a[s : s + bp].astype(np.int64)
+            bb = b[s : s + bp].astype(np.int64)
+            rr = rel[s : s + bp].astype(np.int32)
+            dd = diag[s : s + bp].astype(np.int64)
+            nb = aa.shape[0]
+            if nb < bp:
+                padn = bp - nb
+                aa, bb = np.pad(aa, (0, padn)), np.pad(bb, (0, padn))
+                rr, dd = np.pad(rr, (0, padn)), np.pad(dd, (0, padn))
+            la = pr_a.length[aa].astype(np.int64)
+            lb = pr_b.length[bb].astype(np.int64)
+            q = _oriented_codes(a_codes[aa], la, rr == 1)
+            # oriented a_pos i sits at b forward pos i + base_off (seed
+            # algebra); diag_c follows the a_pos - b_pos convention
+            base_off = np.where(rr == 1, dd + lb - la, -dd).astype(np.int64)
+            gather = lambda off: _b_gather(bb, lb, off)
+            res, seg, _qs = _myers_gate(
+                q, la, lb, -base_off, gather, nb, cfg, edit, Wt)
+            yield res, seg, nb
+
     g_keep, g_dist = [], []
-    for s in range(0, n0, bp):
-        aa = a[s : s + bp].astype(np.int64)
-        bb = b[s : s + bp].astype(np.int64)
-        rr = rel[s : s + bp].astype(np.int32)
-        dd = diag[s : s + bp].astype(np.int64)
-        nb = aa.shape[0]
-        if nb < bp:
-            padn = bp - nb
-            aa, bb = np.pad(aa, (0, padn)), np.pad(bb, (0, padn))
-            rr, dd = np.pad(rr, (0, padn)), np.pad(dd, (0, padn))
-        la = pr_a.length[aa].astype(np.int64)
-        lb = pr_b.length[bb].astype(np.int64)
-        q = _oriented_codes(a_codes[aa], la, rr == 1)
-        # oriented a_pos i sits at b forward pos i + base_off (seed algebra)
-        base_off = np.where(rr == 1, dd + lb - la, -dd).astype(np.int64)
-        diag_c = -base_off                   # a_pos - b_pos convention
-        gather = lambda off: _b_gather(bb, lb, off)
-        keep, dist, _seg, _qs = _myers_gate(
-            q, la, lb, diag_c, gather, nb, cfg, edit, Wt)
-        g_keep.append(keep[:nb])
-        g_dist.append(dist[:nb])
+    for res, seg, nb in pipelined_map(lambda *x: x, gate_batches()):
+        keep, dist = _gate_keep(res, seg, nb, cfg)
+        g_keep.append(keep)
+        g_dist.append(dist)
     keep_all = np.concatenate(g_keep)
     dist_all = np.concatenate(g_dist)
     f_a = a[keep_all].astype(np.int64)

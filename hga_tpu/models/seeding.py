@@ -97,16 +97,24 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
     f = _minimizer_batch_fn(cfg.k, cfg.w)
     log.info("seeding: extracting minimizers for %d reads (batch %d)",
              len(idx), B)
+    def batches():
+        for s in range(0, len(idx), B):
+            sel = idx[s : s + B]
+            packed, bad, length = pr.packed[sel], pr.bad[sel], pr.length[sel]
+            nb = packed.shape[0]
+            if nb < B:
+                packed = np.pad(packed, ((0, B - nb), (0, 0)))
+                bad = np.pad(bad, ((0, B - nb), (0, 0)))
+                length = np.pad(length, (0, B - nb))
+            yield (f(jnp.asarray(packed), jnp.asarray(bad),
+                     jnp.asarray(length)), sel, nb)
+
+    from hga_tpu.parallel.stream import pipelined_map
+
     his, los, reads, poss, strands = [], [], [], [], []
-    for s in range(0, len(idx), B):
-        sel = idx[s : s + B]
-        packed, bad, length = pr.packed[sel], pr.bad[sel], pr.length[sel]
-        nb = packed.shape[0]
-        if nb < B:
-            packed = np.pad(packed, ((0, B - nb), (0, 0)))
-            bad = np.pad(bad, ((0, B - nb), (0, 0)))
-            length = np.pad(length, (0, B - nb))
-        mb = f(jnp.asarray(packed), jnp.asarray(bad), jnp.asarray(length))
+    # device minimizer selection of later batches overlaps this batch's
+    # host compaction (PP analog, parallel/stream.py)
+    for mb, sel, nb in pipelined_map(lambda *x: x, batches()):
         take = np.asarray(mb.take)[:nb]
         rows, cols = np.nonzero(take)
         his.append(np.asarray(mb.hi)[:nb][rows, cols])

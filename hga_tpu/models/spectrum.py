@@ -110,20 +110,27 @@ def count_reads(
     else:
         f = _count_batch_fn(cfg.k)
 
+    def batches():
+        for s in range(0, len(idx), B):
+            sel = idx[s : s + B]
+            packed = pr.packed[sel]
+            bad = pr.bad[sel]
+            length = pr.length[sel]
+            if packed.shape[0] < B:  # pad the tail batch to the static shape
+                pad = B - packed.shape[0]
+                packed = np.pad(packed, ((0, pad), (0, 0)))
+                bad = np.pad(bad, ((0, pad), (0, 0)))
+                length = np.pad(length, (0, pad))
+            yield (jnp.asarray(packed), jnp.asarray(bad), jnp.asarray(length))
+
+    from hga_tpu.parallel.stream import pipelined_map
+
     parts_hi: List[np.ndarray] = []
     parts_lo: List[np.ndarray] = []
     parts_cnt: List[np.ndarray] = []
-    for s in range(0, len(idx), B):
-        sel = idx[s : s + B]
-        packed = pr.packed[sel]
-        bad = pr.bad[sel]
-        length = pr.length[sel]
-        if packed.shape[0] < B:  # pad the tail batch to the static shape
-            pad = B - packed.shape[0]
-            packed = np.pad(packed, ((0, pad), (0, 0)))
-            bad = np.pad(bad, ((0, pad), (0, 0)))
-            length = np.pad(length, (0, pad))
-        ck = f(jnp.asarray(packed), jnp.asarray(bad), jnp.asarray(length))
+    # host packing/padding of batch i+1..i+2 overlaps batch i's device
+    # sort-count (PP analog, parallel/stream.py)
+    for ck in pipelined_map(f, batches()):
         n = int(ck.n)
         parts_hi.append(np.asarray(ck.hi[:n]))
         parts_lo.append(np.asarray(ck.lo[:n]))
