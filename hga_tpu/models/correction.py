@@ -203,7 +203,7 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
         qend_m = jnp.where(res.score >= min_score, res.qend, 0)
         return PU.accumulate_backbone_votes(
             votes, ins_votes, dirs, qend_m, res.tend, q, bb, off, lb,
-            band=band, Lt=Wt, ins_slots=ins_slots)
+            lpad=Lpad, band=band, Lt=Wt, ins_slots=ins_slots)
 
     if mesh is None or mesh.devices.size <= 1:
         return single
@@ -222,11 +222,11 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
             q, t, ql, tl, band=band, match=cfg.match,
             mismatch=cfg.mismatch, gap=cfg.gap)
         qend_m = jnp.where(res.score >= min_score, res.qend, 0)
-        v0 = jnp.zeros((nb, Lpad, PU.N_SYM), jnp.int32)
-        i0 = jnp.zeros((nb, Lpad, ins_slots, 4), jnp.int32)
+        v0 = jnp.zeros((nb * Lpad * PU.N_SYM,), jnp.int32)
+        i0 = jnp.zeros((nb * Lpad * ins_slots * 4,), jnp.int32)
         v, iv = PU.accumulate_backbone_votes(
             v0, i0, dirs, qend_m, res.tend, q, bb, off, lb,
-            band=band, Lt=Wt, ins_slots=ins_slots)
+            lpad=Lpad, band=band, Lt=Wt, ins_slots=ins_slots)
         return jax.lax.psum(v, "data"), jax.lax.psum(iv, "data")
 
     sharded = jax.jit(shard_map(
@@ -278,12 +278,13 @@ def consensus_backbones(
     b_codes_fwd[pastb] = SENT_BASE
 
     Wt = Lq + cfg.band + 8
-    # device-resident vote tensors, updated in place (donated) per batch
-    votes = jnp.zeros((nb, Lpad, PU.N_SYM), jnp.int32)
+    # device-resident FLAT vote tensors, updated in place (donated) per
+    # batch — see ops/pileup.accumulate_backbone_votes on why flat
+    votes = jnp.zeros((nb * Lpad * PU.N_SYM,), jnp.int32)
     # ins_votes[b, col, s, base]: base inserted after col, s-th from the end
     # of the insertion run (restores up to INS_SLOTS-base deletions per pass)
     INS_SLOTS = 3
-    ins_votes = jnp.zeros((nb, Lpad, INS_SLOTS, 4), jnp.int32)
+    ins_votes = jnp.zeros((nb * Lpad * INS_SLOTS * 4,), jnp.int32)
     step = _consensus_step_fn(cfg, min_score, Wt, nb, Lpad, INS_SLOTS, mesh)
 
     for s in range(0, len(a), batch_pairs):
@@ -334,16 +335,16 @@ def consensus_backbones(
             jnp.asarray(off.astype(np.int32)),
             jnp.asarray(lb.astype(np.int32)))
 
-    votes = np.asarray(votes)
-    ins_votes = np.asarray(ins_votes)
-    if _DEBUG_SINK is not None:  # observability hook for tests/debugging
-        _DEBUG_SINK.update(votes=votes, ins_votes=ins_votes)
-
-    # device consensus call over all backbones at once
-    flat_votes = jnp.asarray(votes.reshape(nb * Lpad, PU.N_SYM))
+    # device consensus call over all backbones at once, straight off the
+    # flat device vote tensor (no host round-trip of the votes)
     flat_backbone = jnp.asarray(b_codes_fwd.reshape(nb * Lpad).clip(0, 3))
-    sym_out, depth = PU.consensus_call(flat_votes, flat_backbone,
+    sym_out, depth = PU.consensus_call(votes, flat_backbone,
                                        min_depth=cfg.min_pileup_depth)
+    ins_votes = np.asarray(ins_votes).reshape(nb, Lpad, INS_SLOTS, 4)
+    if _DEBUG_SINK is not None:  # observability hook for tests/debugging
+        _DEBUG_SINK.update(
+            votes=np.asarray(votes).reshape(nb, Lpad, PU.N_SYM),
+            ins_votes=ins_votes)
     sym_out = np.asarray(sym_out).reshape(nb, Lpad)
     depth = np.asarray(depth).reshape(nb, Lpad)
     # insertion call: majority of covering reads must carry the extra base

@@ -107,11 +107,11 @@ def traceback_columns(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "Lt", "ins_slots"),
+                   static_argnames=("lpad", "band", "Lt", "ins_slots"),
                    donate_argnums=(0, 1))
 def accumulate_backbone_votes(
-    votes: jax.Array,      # int32 (NB, Lpad, N_SYM) — donated, updated
-    ins_votes: jax.Array,  # int32 (NB, Lpad, ins_slots, 4) — donated
+    votes: jax.Array,      # int32 (NB*Lpad*N_SYM,) FLAT — donated, updated
+    ins_votes: jax.Array,  # int32 (NB*Lpad*ins_slots*4,) FLAT — donated
     dirs: jax.Array,       # int8 (D, P, W)
     qend: jax.Array,       # int32 (P,) — pre-masked by score threshold
     tend: jax.Array,       # int32 (P,)
@@ -119,6 +119,7 @@ def accumulate_backbone_votes(
     bb: jax.Array,         # int32 (P,) backbone id per pair
     off: jax.Array,        # int32 (P,) window col -> forward backbone col
     lb: jax.Array,         # int32 (P,) backbone true length per pair
+    lpad: int,
     band: int,
     Lt: int,
     ins_slots: int = 3,
@@ -128,35 +129,36 @@ def accumulate_backbone_votes(
     Everything stays on device: the (D, P, W) dirs tensor is consumed here
     and never copied to host.  Out-of-range / masked votes are routed to an
     out-of-bounds flat index and dropped by the scatter's "drop" mode.
+
+    The carried vote tensors are FLAT 1-D on purpose: a (NB, Lpad, 3, 4)
+    layout tiles its tiny minor dims to (4, 128) on TPU — a ~42x HBM
+    blowup that OOMs at judged scale.  Callers reshape on host.
     """
-    NB, Lpad, _ = votes.shape
     sub_col, sub_sym, sub_ok, ins_col, ins_base, ins_slot, ins_ok = (
         traceback_columns(dirs, qend, tend, q, band=band, Lt=Lt))
 
     colf = sub_col + off[None, :]
     okc = sub_ok & (colf >= 0) & (colf < lb[None, :])
-    size_v = NB * Lpad * N_SYM
-    flat_v = (bb[None, :] * Lpad + colf) * N_SYM + sub_sym
+    size_v = votes.shape[0]
+    flat_v = (bb[None, :] * lpad + colf) * N_SYM + sub_sym
     flat_v = jnp.where(okc, flat_v, size_v)
-    votes = votes.reshape(-1).at[flat_v.reshape(-1)].add(
-        1, mode="drop").reshape(NB, Lpad, N_SYM)
+    votes = votes.at[flat_v.reshape(-1)].add(1, mode="drop")
 
     icolf = ins_col + off[None, :]
     oki = (ins_ok & (icolf >= 0) & (icolf < lb[None, :])
            & (ins_slot < ins_slots))
-    size_i = NB * Lpad * ins_slots * 4
-    flat_i = (((bb[None, :] * Lpad + icolf) * ins_slots
+    size_i = ins_votes.shape[0]
+    flat_i = (((bb[None, :] * lpad + icolf) * ins_slots
                + jnp.clip(ins_slot, 0, ins_slots - 1)) * 4
               + jnp.clip(ins_base, 0, 3))
     flat_i = jnp.where(oki, flat_i, size_i)
-    ins_votes = ins_votes.reshape(-1).at[flat_i.reshape(-1)].add(
-        1, mode="drop").reshape(NB, Lpad, ins_slots, 4)
+    ins_votes = ins_votes.at[flat_i.reshape(-1)].add(1, mode="drop")
     return votes, ins_votes
 
 
 @functools.partial(jax.jit, static_argnames=("min_depth",))
 def consensus_call(
-    votes: jax.Array,      # int32 (L, N_SYM)
+    votes: jax.Array,      # int32 (L, N_SYM) or FLAT (L*N_SYM,)
     backbone: jax.Array,   # int32 (L,) backbone base codes
     min_depth: int = 2,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -164,11 +166,17 @@ def consensus_call(
 
     Returns (symbols int32 (L,), depth int32 (L,)); columns with depth <
     min_depth keep the backbone base.  Oracle: pileup_consensus.
+
+    Accepts the flat layout the scatter path produces; internally the five
+    symbol planes are handled as (5, L) — NEVER (L, 5), whose minor dim
+    would pad to a (8, 128) tile (21x HBM at scale).
     """
-    L = votes.shape[0]
-    depth = jnp.sum(votes[:, :5], axis=1)
-    prior = jax.nn.one_hot(backbone, N_SYM, dtype=I32)
-    total = votes + prior
-    best = jnp.argmax(total[:, :5], axis=1).astype(I32)  # ties -> lower sym
-    out = jnp.where(depth >= min_depth, best, backbone.astype(I32))
+    if votes.ndim == 2:
+        votes = votes.reshape(-1)
+    bb = backbone.astype(I32)
+    planes = jnp.stack([votes[s::N_SYM] + (bb == s).astype(I32)
+                        for s in range(5)], axis=0)          # (5, L)
+    depth = jnp.sum(planes, axis=0) - 1       # prior vote excluded
+    best = jnp.argmax(planes, axis=0).astype(I32)  # ties -> lower symbol
+    out = jnp.where(depth >= min_depth, best, bb)
     return out, depth

@@ -53,6 +53,43 @@ def main() -> int:
                                 shard_cap=R * 50 // n_procs)
     hist = np.asarray(C.spectrum_histogram(ck, 8)).tolist()
 
+    # --- data-parallel overlap engines over the SAME global mesh ---
+    # (the production dispatch path: Myers gate + scored SW per shard)
+    from hga_tpu.config import AssemblerConfig
+    from hga_tpu.models.overlap import default_edit, default_sw
+    from hga_tpu.ops.align import banded_sw_batch
+    from hga_tpu.ops.myers import myers_batch
+
+    cfg = AssemblerConfig()
+    N, Lq, Lt = 32, 40, 64
+    q = rng.integers(0, 4, (N, Lq)).astype(np.int32)
+    t = rng.integers(0, 4, (N, Lt)).astype(np.int32)
+    ql = np.full(N, Lq, np.int32)
+    tl = np.full(N, Lt, np.int32)
+    sh = slice(rank * N // n_procs, (rank + 1) * N // n_procs)
+    g_q = jax.make_array_from_process_local_data(dp, q[sh])
+    g_t = jax.make_array_from_process_local_data(dp, t[sh])
+    g_ql = jax.make_array_from_process_local_data(dp, ql[sh])
+    g_tl = jax.make_array_from_process_local_data(dp, tl[sh])
+
+    edit = default_edit(cfg, mesh)
+    r_e = edit(g_q, g_t, g_ql, g_tl)
+    ref_e = myers_batch(jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+                        jnp.asarray(tl))
+    my_dist = np.concatenate([np.asarray(s.data).ravel()
+                              for s in r_e.dist.addressable_shards])
+    edit_ok = bool((my_dist == np.asarray(ref_e.dist)[sh]).all())
+
+    sw = default_sw(cfg, mesh)
+    r_s = sw(g_q, g_t, g_ql, g_tl, 16)
+    ref_s = banded_sw_batch(jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+                            jnp.asarray(tl), band=16)
+    my_sc = np.concatenate([np.asarray(s.data).ravel()
+                            for s in r_s.score.addressable_shards])
+    sw_ok = bool((my_sc == np.asarray(ref_s.score)[sh]).all())
+
+    with open(os.path.join(outdir, f"rank{rank}.json"), "w") as fh:
+        json.dump({"edit_ok": edit_ok, "sw_ok": sw_ok}, fh)
     if rank == 0:
         kb = K.extract_kmers(jnp.asarray(packed), jnp.asarray(bad),
                              jnp.asarray(length), k)

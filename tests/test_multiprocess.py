@@ -44,3 +44,9 @@ def test_two_process_sharded_count(tmp_path):
     with open(tmp_path / "result.json") as fh:
         res = json.load(fh)
     assert res["sharded"] == res["single"]
+    # data-parallel overlap engines (Myers gate + scored SW) must match the
+    # single-device kernels shard-for-shard on every process
+    for r in range(2):
+        with open(tmp_path / f"rank{r}.json") as fh:
+            rr = json.load(fh)
+        assert rr["edit_ok"] and rr["sw_ok"], (r, rr)

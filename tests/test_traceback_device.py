@@ -57,11 +57,13 @@ def test_device_votes_match_host_walk():
 
     # device path
     votes_d, ins_d = PU.accumulate_backbone_votes(
-        jnp.zeros((NB, Lpad, PU.N_SYM), jnp.int32),
-        jnp.zeros((NB, Lpad, 3, 4), jnp.int32),
+        jnp.zeros((NB * Lpad * PU.N_SYM,), jnp.int32),
+        jnp.zeros((NB * Lpad * 3 * 4,), jnp.int32),
         dirs, jnp.asarray(qend.astype(np.int32)), jnp.asarray(tend),
         jnp.asarray(q), jnp.asarray(bb), jnp.asarray(off), jnp.asarray(lb),
-        band=band, Lt=Wt)
-    assert int(np.asarray(votes_d).sum()) > 0
-    np.testing.assert_array_equal(np.asarray(votes_d), votes_h)
-    np.testing.assert_array_equal(np.asarray(ins_d), ins_h)
+        lpad=Lpad, band=band, Lt=Wt)
+    votes_d = np.asarray(votes_d).reshape(NB, Lpad, PU.N_SYM)
+    ins_d = np.asarray(ins_d).reshape(NB, Lpad, 3, 4)
+    assert int(votes_d.sum()) > 0
+    np.testing.assert_array_equal(votes_d, votes_h)
+    np.testing.assert_array_equal(ins_d, ins_h)
