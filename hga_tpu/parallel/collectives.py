@@ -85,6 +85,137 @@ def spectrum_hist_sharded(
     return C.spectrum_histogram(ck, max_count)
 
 
+def count_kmers_bucketed(
+    mesh: Mesh,
+    packed: jax.Array,   # uint32 (R, W) sharded on 'data'
+    bad: jax.Array,
+    length: jax.Array,
+    k: int,
+    bucket_cap: int,
+) -> Tuple[C.CountedKmers, jax.Array]:
+    """Owner-shard k-mer counting: each chip ends up with the counts of ITS
+    hash bucket only (disjoint k-mer spaces, sharded outputs).
+
+    The scalable production path (SURVEY.md §3.1 TP-analog row): one ragged
+    all_to_all routes every k-mer to its owner, each shard sorts/counts only
+    total/n_shards k-mers — unlike count_kmers_sharded, no replicated global
+    re-sort.  Returns (counted, overflow) with counted.{hi,lo,count} sharded
+    over 'data' (capacity n_shards * bucket_cap) and counted.n holding the
+    per-shard distinct counts as an (n_shards,) vector.
+    """
+    n_shards = mesh.devices.size
+
+    def f(p, b, l):
+        kb = K.extract_kmers(p, b, l, k)
+        h = jnp.where(kb.valid, kb.hi, C.SENTINEL).ravel()
+        lov = jnp.where(kb.valid, kb.lo, C.SENTINEL).ravel()
+        hsh = K.kmer_hash32(h, lov)
+        valid = ~((h == C.SENTINEL) & (lov == C.SENTINEL))
+        dst = (hsh % jnp.uint32(n_shards)).astype(I32)
+        dst = jnp.where(valid, dst, n_shards)
+        dst_s, h_s, lo_s = jax.lax.sort((dst, h, lov), num_keys=1)
+        N = dst_s.shape[0]
+        idx = jnp.arange(N, dtype=I32)
+        first_of_dst = jnp.full((n_shards + 1,), N, I32).at[dst_s].min(
+            idx, mode="drop")
+        rank = idx - first_of_dst[dst_s]
+        lanes_hi = jnp.full((n_shards, bucket_cap), C.SENTINEL)
+        lanes_lo = jnp.full((n_shards, bucket_cap), C.SENTINEL)
+        ok = (rank < bucket_cap) & (dst_s < n_shards)
+        pos = jnp.where(ok, dst_s * bucket_cap + rank, n_shards * bucket_cap)
+        lanes_hi = lanes_hi.ravel().at[pos].set(h_s, mode="drop").reshape(
+            n_shards, bucket_cap)
+        lanes_lo = lanes_lo.ravel().at[pos].set(lo_s, mode="drop").reshape(
+            n_shards, bucket_cap)
+        overflow = jnp.sum(((rank >= bucket_cap)
+                            & (dst_s < n_shards)).astype(I32))
+        got_hi = jax.lax.all_to_all(lanes_hi, "data", split_axis=0,
+                                    concat_axis=0, tiled=False).reshape(-1)
+        got_lo = jax.lax.all_to_all(lanes_lo, "data", split_axis=0,
+                                    concat_axis=0, tiled=False).reshape(-1)
+        w = (~((got_hi == C.SENTINEL) & (got_lo == C.SENTINEL))).astype(I32)
+        ck = C.sort_and_count(got_hi, got_lo, w)
+        return (C.CountedKmers(hi=ck.hi, lo=ck.lo, count=ck.count,
+                               n=ck.n[None]),
+                jax.lax.psum(overflow, "data"))
+
+    fn = shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(C.CountedKmers(hi=P("data"), lo=P("data"),
+                                  count=P("data"), n=P("data")), P()),
+        check_rep=False,
+    )
+    return fn(packed, bad, length)
+
+
+def spectrum_hist_bucketed(
+    mesh: Mesh,
+    packed: jax.Array,   # uint32 (R, W) sharded on 'data'
+    bad: jax.Array,
+    length: jax.Array,
+    k: int,
+    bucket_cap: int,
+    max_count: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact global spectrum histogram via OWNER-SHARD counting.
+
+    Unlike count_kmers_sharded (all_gather + full re-sort replicated on
+    every chip — per-shard work grows with the TOTAL k-mer set), this is
+    the scalable Ulysses path (SURVEY.md §3.1/§3.2): k-mers are routed to
+    their hash-owner shard with one ragged all_to_all, each shard
+    sorts/counts ONLY its own bucket (disjoint k-mer spaces), and the
+    global histogram is a psum of local histograms.  Per-shard work is
+    total/n_shards + the shuffle — the >=80%-at-2-hosts scaling design.
+
+    Returns (hist, overflow): callers size bucket_cap with slack and check
+    overflow == 0 (SURVEY.md §8.3-4).
+    """
+    n_shards = mesh.devices.size
+
+    def f(p, b, l):
+        kb = K.extract_kmers(p, b, l, k)
+        h = jnp.where(kb.valid, kb.hi, C.SENTINEL).ravel()
+        lov = jnp.where(kb.valid, kb.lo, C.SENTINEL).ravel()
+        hsh = K.kmer_hash32(h, lov)
+        valid = ~((h == C.SENTINEL) & (lov == C.SENTINEL))
+        dst = (hsh % jnp.uint32(n_shards)).astype(I32)
+        dst = jnp.where(valid, dst, n_shards)
+        dst_s, h_s, lo_s = jax.lax.sort((dst, h, lov), num_keys=1)
+        N = dst_s.shape[0]
+        idx = jnp.arange(N, dtype=I32)
+        first_of_dst = jnp.full((n_shards + 1,), N, I32).at[dst_s].min(
+            idx, mode="drop")
+        rank = idx - first_of_dst[dst_s]
+        lanes_hi = jnp.full((n_shards, bucket_cap), C.SENTINEL)
+        lanes_lo = jnp.full((n_shards, bucket_cap), C.SENTINEL)
+        ok = (rank < bucket_cap) & (dst_s < n_shards)
+        pos = jnp.where(ok, dst_s * bucket_cap + rank, n_shards * bucket_cap)
+        lanes_hi = lanes_hi.ravel().at[pos].set(h_s, mode="drop").reshape(
+            n_shards, bucket_cap)
+        lanes_lo = lanes_lo.ravel().at[pos].set(lo_s, mode="drop").reshape(
+            n_shards, bucket_cap)
+        overflow = jnp.sum(((rank >= bucket_cap)
+                            & (dst_s < n_shards)).astype(I32))
+        got_hi = jax.lax.all_to_all(lanes_hi, "data", split_axis=0,
+                                    concat_axis=0, tiled=False).reshape(-1)
+        got_lo = jax.lax.all_to_all(lanes_lo, "data", split_axis=0,
+                                    concat_axis=0, tiled=False).reshape(-1)
+        # local count of OWNED k-mers only — shards hold disjoint sets
+        w = (~((got_hi == C.SENTINEL) & (got_lo == C.SENTINEL))).astype(I32)
+        ck = C.sort_and_count(got_hi, got_lo, w)
+        hist = C.spectrum_histogram(ck, max_count)
+        return jax.lax.psum(hist, "data"), jax.lax.psum(overflow, "data")
+
+    fn = shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(packed, bad, length)
+
+
 def route_by_bucket(
     mesh: Mesh,
     hi: jax.Array,       # uint32 (R*m,) flat local k-mers (sentinel-padded)

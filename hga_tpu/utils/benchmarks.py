@@ -176,7 +176,7 @@ def bench_count(n_reads: int = 8192, read_len: int = 112, k: int = 21) -> Dict:
             ck = C.count_kmer_batch(kb)
             return acc + C.spectrum_histogram(ck, 64)
 
-        return jax.lax.fori_loop(0, 4, body, jnp.zeros(64, jnp.int32))
+        return jax.lax.fori_loop(0, 4, body, jnp.zeros(65, jnp.int32))
 
     _ = int(np.sum(np.asarray(many(packed, bad, length))))  # compile + warm
     best = None
@@ -221,8 +221,11 @@ def bench_scaling(n_reads: int = 16384, read_len: int = 112,
     """Counting-stage reads/s on 1 device vs the full mesh (config-1 scaling).
 
     On a real pod slice this measures the judged multi-host efficiency
-    (BASELINE.md: >= 80% at 2 hosts); on the virtual CPU mesh it validates
-    the sharded path end-to-end and reports the same ratio.
+    (BASELINE.md: >= 80% at 2 hosts) of the scalable OWNER-SHARD counting
+    path (spectrum_hist_bucketed: all_to_all route + disjoint local counts,
+    per-shard work = total/n).  On the virtual CPU mesh the "devices" share
+    the same physical cores, so the ratio only validates correctness +
+    overhead, never speedup — real efficiency needs real chips.
     """
     import jax
     import jax.numpy as jnp
@@ -262,14 +265,15 @@ def bench_scaling(n_reads: int = 16384, read_len: int = 112,
     if ndev > 1:
         mesh = make_mesh()
         dp = NamedSharding(mesh, P("data"))
-        shard_cap = (n_reads // ndev) * (read_len - k + 1)
+        bucket_cap = 2 * (n_reads // ndev) * (read_len - k + 1) // ndev + 64
         args = (jax.device_put(jnp.asarray(packed_h), dp),
                 jax.device_put(jnp.asarray(bad_h), dp),
                 jax.device_put(jnp.asarray(len_h), dp))
 
         def sharded(p, b, l):
-            ck = PC.count_kmers_sharded(mesh, p, b, l, k, shard_cap)
-            return C.spectrum_histogram(ck, 16)
+            hist, _of = PC.spectrum_hist_bucketed(mesh, p, b, l, k,
+                                                  bucket_cap, 16)
+            return hist
 
         dtn = time_one(sharded, args)
         out["sharded_reads_per_s"] = n_reads / dtn

@@ -89,3 +89,28 @@ def test_route_overflow_detected(dataset):
     lo = jax.device_put(lo, NamedSharding(mesh, P("data")))
     _, _, ovf = PC.route_by_bucket(mesh, hi, lo, bucket_cap=8)
     assert int(ovf) > 0
+
+
+def test_bucketed_spectrum_matches_single():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hga_tpu.ops import count as C
+    from hga_tpu.ops import kmer as K
+    from hga_tpu.parallel import collectives as PC
+    from hga_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    rng = np.random.default_rng(31)
+    R, W, k = 64, 4, 15
+    packed = jnp.asarray(
+        rng.integers(0, 2**32, (R, W), dtype=np.uint64).astype(np.uint32))
+    bad = jnp.zeros((R, 2), jnp.uint32)
+    length = jnp.full((R,), 64, jnp.int32)
+    hist, overflow = PC.spectrum_hist_bucketed(
+        mesh, packed, bad, length, k, bucket_cap=R * 50 // 8, max_count=8)
+    assert int(overflow) == 0
+    kb = K.extract_kmers(packed, bad, length, k)
+    ref = C.spectrum_histogram(C.count_kmer_batch(kb), 8)
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(ref))
