@@ -189,21 +189,25 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
                        nb: int, Lpad: int, ins_slots: int, mesh=None):
     """One fused device step: dirs DP -> traceback -> vote scatter.
 
-    Single device: the carried vote tensors are donated and updated in
-    place.  On a mesh, pairs shard over 'data'; each chip scatters into its
-    own replica and a psum merges them (SURVEY.md §3.2) — the carried
-    tensors stay replicated.
+    The column and insertion vote tensors ride in ONE flat merged buffer
+    (ops/pileup.accumulate_backbone_votes_merged).  Single device: the
+    buffer is donated and updated in place.  On a mesh, pairs shard over
+    'data'; each chip scatters into its own replica and a psum merges them
+    (SURVEY.md §3.2) — the carried buffer stays replicated.
     """
     band = cfg.band
+    size_v = nb * Lpad * PU.N_SYM
+    size_i = nb * Lpad * ins_slots * 4
 
-    def single(votes, ins_votes, q, t, ql, tl, bb, off, lb):
+    def single(merged, q, t, ql, tl, bb, off, lb):
         res, dirs = banded_sw_batch_dirs(
             q, t, ql, tl, band=band, match=cfg.match,
             mismatch=cfg.mismatch, gap=cfg.gap)
         qend_m = jnp.where(res.score >= min_score, res.qend, 0)
-        return PU.accumulate_backbone_votes(
-            votes, ins_votes, dirs, qend_m, res.tend, q, bb, off, lb,
-            lpad=Lpad, band=band, Lt=Wt, ins_slots=ins_slots)
+        return PU.accumulate_backbone_votes_merged(
+            merged, dirs, qend_m, res.tend, q, bb, off, lb,
+            size_v=size_v, lpad=Lpad, band=band, Lt=Wt,
+            ins_slots=ins_slots)
 
     if mesh is None or mesh.devices.size <= 1:
         return single
@@ -222,22 +226,21 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
             q, t, ql, tl, band=band, match=cfg.match,
             mismatch=cfg.mismatch, gap=cfg.gap)
         qend_m = jnp.where(res.score >= min_score, res.qend, 0)
-        v0 = jnp.zeros((nb * Lpad * PU.N_SYM,), jnp.int32)
-        i0 = jnp.zeros((nb * Lpad * ins_slots * 4,), jnp.int32)
-        v, iv = PU.accumulate_backbone_votes(
-            v0, i0, dirs, qend_m, res.tend, q, bb, off, lb,
-            lpad=Lpad, band=band, Lt=Wt, ins_slots=ins_slots)
-        return jax.lax.psum(v, "data"), jax.lax.psum(iv, "data")
+        m0 = jnp.zeros((size_v + size_i,), jnp.int32)
+        m = PU.accumulate_backbone_votes_merged(
+            m0, dirs, qend_m, res.tend, q, bb, off, lb,
+            size_v=size_v, lpad=Lpad, band=band, Lt=Wt,
+            ins_slots=ins_slots)
+        return jax.lax.psum(m, "data")
 
     sharded = jax.jit(shard_map(
         local, mesh=mesh, in_specs=(P("data"),) * 7,
-        out_specs=(P(), P()), check_rep=False))
+        out_specs=P(), check_rep=False))
 
-    def step(votes, ins_votes, q, t, ql, tl, bb, off, lb):
+    def step(merged, q, t, ql, tl, bb, off, lb):
         if q.shape[0] % ndev:
-            return single(votes, ins_votes, q, t, ql, tl, bb, off, lb)
-        v, iv = sharded(q, t, ql, tl, bb, off, lb)
-        return votes + v, ins_votes + iv
+            return single(merged, q, t, ql, tl, bb, off, lb)
+        return merged + sharded(q, t, ql, tl, bb, off, lb)
 
     return step
 
@@ -278,13 +281,14 @@ def consensus_backbones(
     b_codes_fwd[pastb] = SENT_BASE
 
     Wt = Lq + cfg.band + 8
-    # device-resident FLAT vote tensors, updated in place (donated) per
-    # batch — see ops/pileup.accumulate_backbone_votes on why flat
-    votes = jnp.zeros((nb * Lpad * PU.N_SYM,), jnp.int32)
+    # ONE device-resident FLAT vote buffer (column votes then insertion
+    # votes), updated in place (donated) per batch — see
+    # ops/pileup.accumulate_backbone_votes_merged on why flat+merged.
     # ins_votes[b, col, s, base]: base inserted after col, s-th from the end
     # of the insertion run (restores up to INS_SLOTS-base deletions per pass)
     INS_SLOTS = 3
-    ins_votes = jnp.zeros((nb * Lpad * INS_SLOTS * 4,), jnp.int32)
+    size_v = nb * Lpad * PU.N_SYM
+    merged = jnp.zeros((size_v + nb * Lpad * INS_SLOTS * 4,), jnp.int32)
     step = _consensus_step_fn(cfg, min_score, Wt, nb, Lpad, INS_SLOTS, mesh)
 
     for s in range(0, len(a), batch_pairs):
@@ -328,19 +332,20 @@ def consensus_backbones(
         tlen = np.where(np.arange(P) < nbatch, Wt, 0).astype(np.int32)
         # entire DP + traceback + vote scatter stays on device: the
         # (D, P, W) dirs tensor never crosses to host (SURVEY.md L5)
-        votes, ins_votes = step(
-            votes, ins_votes, jnp.asarray(q), jnp.asarray(t_win),
+        merged = step(
+            merged, jnp.asarray(q), jnp.asarray(t_win),
             jnp.asarray(qlen), jnp.asarray(tlen),
             jnp.asarray(bb.astype(np.int32)),
             jnp.asarray(off.astype(np.int32)),
             jnp.asarray(lb.astype(np.int32)))
 
     # device consensus call over all backbones at once, straight off the
-    # flat device vote tensor (no host round-trip of the votes)
+    # flat device vote buffer (no host round-trip of the votes)
+    votes = merged[:size_v]
     flat_backbone = jnp.asarray(b_codes_fwd.reshape(nb * Lpad).clip(0, 3))
     sym_out, depth = PU.consensus_call(votes, flat_backbone,
                                        min_depth=cfg.min_pileup_depth)
-    ins_votes = np.asarray(ins_votes).reshape(nb, Lpad, INS_SLOTS, 4)
+    ins_votes = np.asarray(merged[size_v:]).reshape(nb, Lpad, INS_SLOTS, 4)
     if _DEBUG_SINK is not None:  # observability hook for tests/debugging
         _DEBUG_SINK.update(
             votes=np.asarray(votes).reshape(nb, Lpad, PU.N_SYM),
