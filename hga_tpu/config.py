@@ -48,10 +48,23 @@ class AssemblerConfig:
     # --- graph layer (L4) ---
     min_overlap_score: int = 40
     tip_max_len: int = 3           # tip clipping: max nodes in a clipped tip
-    end_tol: int = 3               # bp tolerance when classifying dovetails
-    fuzz: int = 10                 # transitive-reduction length slack
+    end_tol: int = 3               # bp floor when classifying dovetails
+    # Length-aware end tolerance: an overlap's alignment may stop short of
+    # the read ends by up to max(end_tol, hang_frac * read_len, capped at
+    # 250 bp) and still classify as containment/dovetail — long noisy reads
+    # carry unaligned end flanks the reference tolerates the same way
+    # (SURVEY.md C10).  Junction extensions are corrected by the hang so
+    # stitching stays exact.
+    hang_frac: float = 0.02
+    fuzz: int = 10                 # transitive-reduction length slack (floor;
+    # auto-scaled to ~4% of the median non-contained read length)
     max_out_degree: int = 16       # neighbors inspected per edge in reduction
     min_contig_len: int = 0        # drop shorter contigs (0 = keep all)
+    # Drop a contig when every one of its reads is >= this covered by
+    # overlaps with reads already emitted in longer contigs: undetected
+    # containments and tip/bubble orphans otherwise survive as duplicate
+    # contigs (measured 57% of the genome covered twice at 1 Mb scale).
+    redundant_cov: float = 0.95
 
     # --- correction / consensus layer (L5) ---
     min_pileup_depth: int = 2
@@ -59,10 +72,12 @@ class AssemblerConfig:
     # spectrum is available — the reference's discriminative-k-mer mechanism
     # (SURVEY.md C5/C12): error k-mers stop generating candidate pairs.
     use_solid_seeds: bool = True
-    # Cap correction candidates per backbone at ~corr_depth_cap reads per
-    # column (0 = uncapped).  A pileup only needs bounded depth; at judged
-    # scale (cov 30 x 20) the uncapped alignment count is the wall-clock
-    # driver.  Highest shared-seed-count candidates win.
+    # Cap correction candidates at corr_depth_cap reads per (backbone,
+    # ~read-length position bucket) — i.e. ~pileup depth per column
+    # (0 = uncapped).  A pileup only needs bounded depth; at judged scale
+    # (cov 30 x 20) the uncapped alignment count is the wall-clock driver.
+    # Highest shared-seed-count candidates win WITHIN each bucket (a global
+    # top-N leaves spatial pileup holes — see overlap_long.py).
     corr_depth_cap: int = 0
     # alignments per correction device batch (larger amortizes the lockstep
     # traceback scan; 4096 measured ~30% faster per-alignment than 1024)

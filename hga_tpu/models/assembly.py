@@ -49,19 +49,31 @@ class StringGraph:
         return 2 * self.n_reads
 
 
+HANG_CAP = 250     # absolute cap on the length-scaled end-hang tolerance
+
+
 def build_string_graph(ov: OverlapRecords, n_reads: int,
                        cfg: AssemblerConfig) -> StringGraph:
-    """Classify overlaps into containments/dovetails; emit doubled edges."""
-    tol = cfg.end_tol
+    """Classify overlaps into containments/dovetails; emit doubled edges.
+
+    End tolerances are length-aware (see config.hang_frac): a noisy read's
+    alignment can stop short of its ends by a few hundred bp.  Junction
+    extensions subtract the admitted hang along the diagonal, so stitching
+    coordinates stay exact regardless of the tolerance.
+    """
     a, b, rel = ov.a, ov.b, ov.rel
     la, lb = ov.a_len, ov.b_len
+    hang = lambda L: np.maximum(
+        cfg.end_tol, np.minimum(HANG_CAP, (L * cfg.hang_frac))).astype(
+            np.int64)
+    ha, hb = hang(la), hang(lb)
     as_, ae = ov.a_start, ov.a_end
     # b coordinates in b's ORIENTED frame (the frame the DP aligned in)
     bs_o = np.where(rel == 1, lb - ov.b_end, ov.b_start)
     be_o = np.where(rel == 1, lb - ov.b_start, ov.b_end)
 
-    contained_a = (as_ <= tol) & (ae >= la - tol)
-    contained_b = (bs_o <= tol) & (be_o >= lb - tol)
+    contained_a = (as_ <= ha) & (ae >= la - ha)
+    contained_b = (bs_o <= hb) & (be_o >= lb - hb)
     contained = np.zeros(n_reads, bool)
     # a read equal to another (mutual containment) keeps the smaller id
     eq = contained_a & contained_b
@@ -70,29 +82,43 @@ def build_string_graph(ov: OverlapRecords, n_reads: int,
     contained[np.where(eq, np.maximum(a, b), 0)[eq]] = True
 
     ok = ~contained[a] & ~contained[b] & ~contained_a & ~contained_b
-    dove_ab = ok & (ae >= la - tol) & (bs_o <= tol)
-    dove_ba = ok & (be_o >= lb - tol) & (as_ <= tol) & ~dove_ab
+    dove_ab = ok & (ae >= la - ha) & (bs_o <= hb)
+    dove_ba = ok & (be_o >= lb - hb) & (as_ <= ha) & ~dove_ab
 
     us, vs, exts, scs = [], [], [], []
     # suffix(a) ~ prefix(b^rel):  a+ -> b^rel   and   b^(1-rel) -> a-
+    # diagonal continuation: the unaligned a-suffix (la - ae) corresponds to
+    # b bases be_o..be_o+(la-ae), so b only adds lb - be_o - (la - ae).
+    # An edge and its complement are kept or dropped TOGETHER (both exts
+    # positive) so the doubled graph stays symmetric.
     i = np.nonzero(dove_ab)[0]
+    e1 = lb[i] - be_o[i] - (la[i] - ae[i])
+    e2 = as_[i] - bs_o[i]
+    i = i[(e1 > 0) & (e2 > 0)]
+    e1 = lb[i] - be_o[i] - (la[i] - ae[i])
+    e2 = as_[i] - bs_o[i]
     us.append(2 * a[i])
     vs.append(2 * b[i] + rel[i])
-    exts.append(lb[i] - be_o[i])
+    exts.append(e1)
     scs.append(ov.score[i])
     us.append(2 * b[i] + (1 - rel[i]))
     vs.append(2 * a[i] + 1)
-    exts.append(as_[i])
+    exts.append(e2)
     scs.append(ov.score[i])
     # suffix(b^rel) ~ prefix(a):  b^rel -> a+   and   a- -> b^(1-rel)
     i = np.nonzero(dove_ba)[0]
+    e1 = la[i] - ae[i] - (lb[i] - be_o[i])
+    e2 = bs_o[i] - as_[i]
+    i = i[(e1 > 0) & (e2 > 0)]
+    e1 = la[i] - ae[i] - (lb[i] - be_o[i])
+    e2 = bs_o[i] - as_[i]
     us.append(2 * b[i] + rel[i])
     vs.append(2 * a[i])
-    exts.append(la[i] - ae[i])
+    exts.append(e1)
     scs.append(ov.score[i])
     us.append(2 * a[i] + 1)
     vs.append(2 * b[i] + (1 - rel[i]))
-    exts.append(bs_o[i])
+    exts.append(e2)
     scs.append(ov.score[i])
 
     u = np.concatenate(us).astype(np.int32) if us else np.zeros(0, np.int32)
@@ -100,10 +126,7 @@ def build_string_graph(ov: OverlapRecords, n_reads: int,
     ext = np.concatenate(exts).astype(np.int32) if exts else np.zeros(0, np.int32)
     sc = np.concatenate(scs).astype(np.int32) if scs else np.zeros(0, np.int32)
 
-    # drop zero-extension edges (would stitch nothing) and dedupe (u, v)
-    # keeping the smallest extension (tightest overlap)
-    keep = ext > 0
-    u, v, ext, sc = u[keep], v[keep], ext[keep], sc[keep]
+    # dedupe (u, v) keeping the smallest extension (tightest overlap)
     order = np.lexsort((ext, v, u))
     u, v, ext, sc = u[order], v[order], ext[order], sc[order]
     first = np.ones(len(u), bool)
@@ -115,8 +138,20 @@ def build_string_graph(ov: OverlapRecords, n_reads: int,
     return g
 
 
-def reduce_graph(g: StringGraph, cfg: AssemblerConfig) -> np.ndarray:
-    """Device transitive reduction; returns keep mask over g's edges."""
+def reduce_graph(g: StringGraph, cfg: AssemblerConfig,
+                 read_len: Optional[np.ndarray] = None) -> np.ndarray:
+    """Device transitive reduction; returns keep mask over g's edges.
+
+    The length slack auto-scales to ~4% of the median non-contained read
+    length (floored by cfg.fuzz): composed long-read overlap coordinates
+    jitter by tens-to-hundreds of bp, and an under-sized fuzz leaves
+    spurious branch edges that fragment every unitig they touch (measured:
+    fuzz=10 left 127/339 branching nodes at 1 Mb scale; fuzz>=100 left 64).
+    """
+    fuzz = cfg.fuzz
+    if read_len is not None and not g.contained.all():
+        med = float(np.median(read_len[~g.contained]))
+        fuzz = max(fuzz, min(1000, int(0.04 * med)))
     E = max(8, g.u.shape[0])
     pad = E - g.u.shape[0]
     u = np.pad(g.u, (0, pad))
@@ -127,13 +162,22 @@ def reduce_graph(g: StringGraph, cfg: AssemblerConfig) -> np.ndarray:
     csr = G.build_csr(jnp.asarray(u), jnp.asarray(v), jnp.asarray(ext),
                       jnp.asarray(sc), jnp.asarray(valid), g.n_nodes)
     keep = G.transitive_reduction(csr, g.n_nodes,
-                                  max_out=cfg.max_out_degree, fuzz=cfg.fuzz)
+                                  max_out=cfg.max_out_degree, fuzz=fuzz)
     # map the (sorted) CSR keep mask back to g's edge order
     ku = np.asarray(csr.u)
     kv = np.asarray(csr.v)
     kkeep = np.asarray(keep)
     kept_set = {(int(x), int(y)) for x, y, m in zip(ku, kv, kkeep) if m}
-    return np.array([(int(x), int(y)) in kept_set for x, y in zip(g.u, g.v)])
+    # enforce string-graph symmetry by union: coordinate jitter can reduce
+    # one direction but not its complement, and an asymmetric graph breaks
+    # the forward path and its reverse-complement at different reads, which
+    # defeats complement-path dedup and emits the same reads twice
+    out = np.zeros(g.u.shape[0], bool)
+    for idx, (x, y) in enumerate(zip(g.u, g.v)):
+        e = (int(x), int(y))
+        if e in kept_set or _complement_edge(*e) in kept_set:
+            out[idx] = True
+    return out
 
 
 def _complement_edge(u: int, v: int) -> Tuple[int, int]:
@@ -264,11 +308,50 @@ def _oriented_seq(codes: np.ndarray, length: int, orient: int) -> np.ndarray:
     return (3 - s[::-1]) if orient else s
 
 
+def _read_overlap_cov(ov: OverlapRecords, n_reads: int):
+    """Per-read overlap interval table: returns a function cov(read,
+    partner_ok) -> fraction of the read covered by overlaps whose partner
+    satisfies partner_ok (a bool array over reads)."""
+    rec_r = np.concatenate([ov.a, ov.b])
+    rec_p = np.concatenate([ov.b, ov.a])
+    rec_s = np.concatenate([ov.a_start, ov.b_start]).astype(np.int64)
+    rec_e = np.concatenate([ov.a_end, ov.b_end]).astype(np.int64)
+    order = np.argsort(rec_r, kind="stable")
+    rec_r, rec_p, rec_s, rec_e = (x[order] for x in
+                                  (rec_r, rec_p, rec_s, rec_e))
+    bounds = np.searchsorted(rec_r, np.arange(n_reads + 1))
+
+    def cov(read: int, length: int, partner_ok: np.ndarray) -> float:
+        lo, hi = bounds[read], bounds[read + 1]
+        m = partner_ok[rec_p[lo:hi]]
+        if not m.any():
+            return 0.0
+        ivs = sorted(zip(rec_s[lo:hi][m], rec_e[lo:hi][m]))
+        tot = 0
+        cur = 0
+        for s, e in ivs:
+            s = max(s, cur)
+            if e > s:
+                tot += e - s
+                cur = e
+        return tot / max(length, 1)
+
+    return cov
+
+
 def assemble(pr: PackedReads, ov: OverlapRecords,
              cfg: AssemblerConfig) -> AssemblyResult:
-    """Config-4 stage: overlaps -> reduced string graph -> stitched contigs."""
+    """Config-4 stage: overlaps -> reduced string graph -> stitched contigs.
+
+    Emission is redundancy-filtered: contigs are built longest-first, and a
+    contig is dropped when EVERY read in it is >= cfg.redundant_cov covered
+    by overlaps with reads already emitted — undetected containments and
+    tip/bubble orphans otherwise duplicate already-assembled sequence
+    (the reference's containment removal serves the same end, SURVEY.md
+    C10; measured at 1 Mb scale this halves total contig length)."""
     g = build_string_graph(ov, pr.n_reads, cfg)
-    keep = reduce_graph(g, cfg) if g.u.size else np.zeros(0, bool)
+    keep = reduce_graph(g, cfg, read_len=pr.length) if g.u.size else (
+        np.zeros(0, bool))
     edges = [(int(u), int(v)) for u, v, k in zip(g.u, g.v, keep) if k]
     ext_of: Dict[Tuple[int, int], int] = {
         (int(u), int(v)): int(e)
@@ -281,15 +364,14 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
     paths = unitigs_from_edges(g.n_nodes, edges)
 
     codes = unpack_codes(pr.packed)
-    contigs: List[Tuple[str, str]] = []
-    kept_paths: List[List[int]] = []
-    emitted = set()
+    candidates: List[Tuple[List[int], np.ndarray]] = []
+    emitted_paths = set()
     for path in sorted(paths, key=lambda p: p[0]):
         read0 = path[0] // 2
         if g.contained[read0] and len(path) == 1:
             continue
         comp = tuple(n ^ 1 for n in reversed(path))
-        if tuple(path) > comp and comp in emitted:
+        if tuple(path) > comp and comp in emitted_paths:
             continue
         seq_parts = [
             _oriented_seq(codes[read0], int(pr.length[read0]), path[0] % 2)]
@@ -304,12 +386,28 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
             seq_parts.append(s[len(s) - ext:])
         if not ok:
             continue
-        seq = decode_bases(np.concatenate(seq_parts))
-        if len(seq) < cfg.min_contig_len:
+        seq = np.concatenate(seq_parts)
+        if seq.size < cfg.min_contig_len:
             continue
-        emitted.add(tuple(path))
-        contigs.append((f"contig_{len(contigs)}", seq))
-        kept_paths.append(list(path))
+        emitted_paths.add(tuple(path))
+        candidates.append((list(path), seq))
+
+    # longest-first redundancy filter
+    candidates.sort(key=lambda c: (-len(c[1]), c[0][0]))
+    covf = _read_overlap_cov(ov, pr.n_reads)
+    in_out = np.zeros(pr.n_reads, bool)
+    contigs: List[Tuple[str, str]] = []
+    kept_paths: List[List[int]] = []
+    for path, seq in candidates:
+        reads = [n // 2 for n in path]
+        redundant = contigs and all(
+            covf(r, int(pr.length[r]), in_out) >= cfg.redundant_cov
+            for r in reads)
+        if redundant:
+            continue
+        in_out[reads] = True
+        contigs.append((f"contig_{len(contigs)}", decode_bases(seq)))
+        kept_paths.append(path)
 
     log.info("assembly: %d contigs (N=%s)", len(contigs),
              sorted((len(s) for _, s in contigs), reverse=True)[:5])

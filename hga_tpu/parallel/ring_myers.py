@@ -12,10 +12,13 @@ bit-parallel Myers recurrence streams through the ring:
   per-query column state (Pv, Mv, score, best, bj) — a few words per query.
   That tuple is the halo; `lax.ppermute` moves it to the next chip after
   each chunk.
-* The query batch is cut into n_dev blocks and software-pipelined: at ring
-  step s, chip d runs block b = s - d against ITS resident target chunk, so
-  after the n_dev-step fill every chip computes every step (classic
-  wavefront pipeline, 2*n_dev - 1 steps total).
+* The query batch is cut into blocks_per_dev * n_dev blocks and
+  software-pipelined: at ring step s, chip d runs block b = s - d against
+  ITS resident target chunk, so after the n_dev-step fill every chip
+  computes every step (classic wavefront pipeline, B + n_dev - 1 steps for
+  B blocks).  More blocks per device shrink the fill/drain bubble: pipeline
+  efficiency is B / (B + n_dev - 1) — 50% at B = n_dev, 67% at 2*n_dev,
+  ~89% at 8*n_dev — at the cost of smaller per-step batches.
 * Chip n_dev-1 finalizes each block as it drains; a psum replicates the
   (dist, tend) results (all other chips contribute zeros).
 
@@ -42,20 +45,24 @@ from hga_tpu.ops.myers import (I32, MyersResult, myers_cols,
 
 
 def myers_ring(mesh: Mesh, q: jax.Array, t: jax.Array, qlen: jax.Array,
-               tlen: jax.Array) -> MyersResult:
+               tlen: jax.Array, blocks_per_dev: int = 2) -> MyersResult:
     """Semi-global edit distance with the TARGET column-sharded over the
     mesh's 'data' axis.
 
     q: int32 (N, Lq); t: int32 (N, Lt) with Lt divisible by n_dev; N
-    divisible by n_dev (callers pad queries with qlen=0 rows and targets
-    with sentinel columns).  Results replicated on every chip.
+    divisible by blocks_per_dev * n_dev (callers pad queries with qlen=0
+    rows and targets with sentinel columns).  Results replicated on every
+    chip.  blocks_per_dev trades fill/drain bubble against per-step batch
+    size (see module docstring).
     """
     ndev = mesh.devices.size
     N, Lq = q.shape
     Lt = t.shape[1]
-    if N % ndev or Lt % ndev:
-        raise ValueError(f"N={N} and Lt={Lt} must divide n_dev={ndev}")
-    NB = N // ndev          # query block size
+    B = blocks_per_dev * ndev               # pipeline blocks
+    if N % B or Lt % ndev:
+        raise ValueError(f"N={N} must divide blocks B={B} and Lt={Lt} "
+                         f"must divide n_dev={ndev}")
+    NB = N // B             # query block size
     C = Lt // ndev          # target chunk per chip
     W = n_words(Lq)
     q0, q1, vq, mend = query_planes(q, qlen, W)     # (N, W), replicated
@@ -70,15 +77,15 @@ def myers_ring(mesh: Mesh, q: jax.Array, t: jax.Array, qlen: jax.Array,
 
         def blk(x, b):
             """Rows of query block b (traced), clamped for inactive steps."""
-            start = jnp.clip(b, 0, ndev - 1) * NB
+            start = jnp.clip(b, 0, B - 1) * NB
             return jax.lax.dynamic_slice_in_dim(x, start, NB, axis=0)
 
         state = myers_init_state(jnp.zeros((NB,), I32), W)
-        res_d = jnp.zeros((ndev, NB), I32)
-        res_e = jnp.zeros((ndev, NB), I32)
-        for s in range(2 * ndev - 1):
+        res_d = jnp.zeros((B, NB), I32)
+        res_e = jnp.zeros((B, NB), I32)
+        for s in range(B + ndev - 1):
             b = s - d                                # my block this step
-            if s < ndev:
+            if s < B:
                 # chip 0 admits a fresh block into the pipeline
                 fresh = myers_init_state(blk(ql, jnp.asarray(s, I32)), W)
                 admit = d == 0
@@ -87,7 +94,7 @@ def myers_ring(mesh: Mesh, q: jax.Array, t: jax.Array, qlen: jax.Array,
             new_state = myers_cols(blk(q0, b), blk(q1, b), blk(vq, b),
                                    blk(mend, b), blk(t_sh, b), blk(tl, b),
                                    state, j0=j0)
-            active = (b >= 0) & (b < ndev)
+            active = (b >= 0) & (b < B)
             state = tuple(jnp.where(active, ns, st)
                           for ns, st in zip(new_state, state))
             # last chip drains finished blocks into the result buffer
@@ -96,7 +103,7 @@ def myers_ring(mesh: Mesh, q: jax.Array, t: jax.Array, qlen: jax.Array,
             qlb = blk(ql, b)
             dist_b = jnp.where(drain & (qlb > 0), best, 0)
             tend_b = jnp.where(drain & (qlb > 0), bj, 0)
-            bi = jnp.clip(b, 0, ndev - 1)
+            bi = jnp.clip(b, 0, B - 1)
             res_d = jax.lax.dynamic_update_slice_in_dim(
                 res_d, jnp.maximum(
                     jax.lax.dynamic_slice_in_dim(res_d, bi, 1, 0),

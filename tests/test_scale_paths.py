@@ -45,10 +45,11 @@ def test_depth_cap_bounds_candidates(ds):
     a0, b0, _, _ = find_candidates_cross_indexed(pr_s, pr_l, cfg, depth_cap=0)
     a1, b1, _, _ = find_candidates_cross_indexed(pr_s, pr_l, cfg, depth_cap=5)
     assert len(a1) < len(a0)
-    # per-backbone bound: ~5 * len_b / 100
+    # positional bound: <= 5 per (backbone, ~read-length bucket)
     cnt = np.bincount(b1, minlength=pr_l.n_reads)
-    cap = 5 * pr_l.length.astype(np.int64) // int(pr_s.length.mean()) + 1
-    assert (cnt <= cap).all()
+    mean_la = int(pr_s.length.mean())
+    n_buckets = pr_l.length.astype(np.int64) // mean_la + 1
+    assert (cnt <= 5 * n_buckets).all()
 
 
 def test_bucketed_correction_matches_single_group(ds):
