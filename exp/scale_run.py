@@ -25,7 +25,10 @@ def main():
     from hga_tpu.io.encode import pack_reads
     from hga_tpu.models.pipeline import run_pipeline
     from hga_tpu.utils import sim
+    from hga_tpu.utils.compile_cache import enable_compile_cache
     from hga_tpu.utils.evalx import evaluate_contigs
+
+    enable_compile_cache()
 
     t0 = time.perf_counter()
     genome = sim.random_genome(G, seed=42)
@@ -50,7 +53,7 @@ def main():
     # error rates.  The judged k=21 spectrum remains `hga count`'s default.
     cfg = AssemblerConfig(k=15, w=5, band=64, batch_reads=4096,
                           min_shared_minimizers=2, min_overlap_len=500,
-                          min_identity=0.75, corr_depth_cap=12,
+                          min_identity=0.75, corr_depth_cap=20,
                           corr_batch_pairs=4096, min_contig_len=2000)
     t0 = time.perf_counter()
     res = run_pipeline(pr_s, pr_l, cfg, outdir)

@@ -236,6 +236,9 @@ def cmd_bench(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from hga_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="hga", description="TPU-native hybrid genome assembler")
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -32,18 +32,26 @@ log = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class SpectrumResult:
-    """Host-side result of the counting stage."""
+    """Host-side result of the counting stage.
 
-    hi: np.ndarray        # uint32[n] distinct canonical k-mers (sorted)
+    hi/lo/count may hold the full distinct set (mesh/legacy paths) or only
+    the SOLID k-mers (count >= threshold; the fast single-device path —
+    nothing downstream consumes sub-threshold k-mers, and the tunneled
+    readback is bandwidth-bound).  `distinct` always carries the true
+    distinct total.
+    """
+
+    hi: np.ndarray        # uint32[n] canonical k-mers (sorted)
     lo: np.ndarray        # uint32[n]
     count: np.ndarray     # int32[n]
     hist: np.ndarray      # int64[max_count+1]
     threshold: int        # chosen solid threshold
     k: int
+    distinct: int = -1    # total distinct k-mers (-1: same as hi.size)
 
     @property
     def n_distinct(self) -> int:
-        return int(self.hi.shape[0])
+        return int(self.distinct) if self.distinct >= 0 else int(self.hi.shape[0])
 
     def solid_set(self) -> Tuple[np.ndarray, np.ndarray]:
         m = self.count >= self.threshold
@@ -52,14 +60,17 @@ class SpectrumResult:
     def save(self, path: str) -> None:
         np.savez_compressed(path, hi=self.hi, lo=self.lo, count=self.count,
                             hist=self.hist, threshold=np.int64(self.threshold),
-                            k=np.int64(self.k))
+                            k=np.int64(self.k),
+                            distinct=np.int64(self.n_distinct))
 
     @staticmethod
     def load(path: str) -> "SpectrumResult":
         z = np.load(path)
         return SpectrumResult(hi=z["hi"], lo=z["lo"], count=z["count"],
                               hist=z["hist"], threshold=int(z["threshold"]),
-                              k=int(z["k"]))
+                              k=int(z["k"]),
+                              distinct=int(z["distinct"])
+                              if "distinct" in z.files else -1)
 
 
 def _count_batch_fn(k: int):
@@ -69,6 +80,97 @@ def _count_batch_fn(k: int):
         return C.count_kmer_batch(kb)
 
     return f
+
+
+def _extract_batch_fn(k: int):
+    """Device k-mer extraction only (no per-batch sort, no readback)."""
+
+    @jax.jit
+    def f(packed, bad, length):
+        kb = K.extract_kmers(packed, bad, length, k)
+        hi = jnp.where(kb.valid, kb.hi, C.SENTINEL)
+        lo = jnp.where(kb.valid, kb.lo, C.SENTINEL)
+        return hi.ravel(), lo.ravel()
+
+    return f
+
+
+# One-shot global sort cap (k-mer slots).  135M slots (E. coli 4.6 Mb at
+# cov 30) sorts in a few seconds within v5e HBM; beyond this the legacy
+# per-batch count path bounds memory instead.
+MAX_GLOBAL_SORT = 160_000_000
+
+
+def _count_reads_device(idx, pr: PackedReads, cfg: AssemblerConfig,
+                        B: int) -> SpectrumResult:
+    """Single-device fast path: minimal tunnel traffic.
+
+    The tunneled readback runs at single-digit MB/s (measured ~3 MB/s), so
+    the per-batch compact-and-fetch design moved ~6x the necessary bytes:
+    every batch's distinct set came to host and went BACK to device for the
+    final merge.  Here extraction streams on device (33 ms/batch), ONE
+    global sort counts everything (1.4 s / 32M slots), and the only
+    readbacks are the histogram and the SOLID set — the only k-mers any
+    downstream stage consumes (seeding/correction; SURVEY.md C5/C12).
+    """
+    ex = _extract_batch_fn(cfg.k)
+
+    def batches():
+        for s in range(0, len(idx), B):
+            sel = idx[s : s + B]
+            packed = pr.packed[sel]
+            bad = pr.bad[sel]
+            length = pr.length[sel]
+            if packed.shape[0] < B:
+                pad = B - packed.shape[0]
+                packed = np.pad(packed, ((0, pad), (0, 0)))
+                bad = np.pad(bad, ((0, pad), (0, 0)))
+                length = np.pad(length, (0, pad))
+            yield (jnp.asarray(packed), jnp.asarray(bad), jnp.asarray(length))
+
+    from hga_tpu.parallel.stream import pipelined_map
+
+    parts_hi: List[jax.Array] = []
+    parts_lo: List[jax.Array] = []
+    for hi_d, lo_d in pipelined_map(ex, batches()):
+        parts_hi.append(hi_d)
+        parts_lo.append(lo_d)
+
+    if not parts_hi:
+        hist = np.zeros(cfg.max_count + 1, np.int64)
+        thr = cfg.solid_threshold or solid_threshold_from_hist(hist)
+        z = np.zeros(0, np.uint32)
+        return SpectrumResult(hi=z, lo=z.copy(), count=np.zeros(0, np.int32),
+                              hist=hist, threshold=int(thr), k=cfg.k,
+                              distinct=0)
+
+    # pad the global sort to a power-of-two capacity: the (expensive,
+    # remote) sort compile is then reused across dataset sizes via the
+    # persistent compilation cache (utils/compile_cache.py)
+    slots = sum(int(p.shape[0]) for p in parts_hi)
+    cap = 1 << max(22, (slots - 1).bit_length())
+    if cap > slots:
+        pad = jnp.full((cap - slots,), C.SENTINEL, jnp.uint32)
+        parts_hi.append(pad)
+        parts_lo.append(pad)
+    hi_d = jnp.concatenate(parts_hi)
+    lo_d = jnp.concatenate(parts_lo)
+    del parts_hi, parts_lo
+    merged = C.sort_and_count(hi_d, lo_d,
+                              jnp.ones(hi_d.shape[0], jnp.int32))
+    del hi_d, lo_d
+    hist = np.asarray(C.spectrum_histogram(merged, cfg.max_count))
+    distinct = int(merged.n)
+    thr = cfg.solid_threshold or solid_threshold_from_hist(hist)
+    solid = C.filter_solid(merged, jnp.int32(thr))
+    ns = int(solid.n)
+    hi = np.asarray(solid.hi[:ns])
+    lo = np.asarray(solid.lo[:ns])
+    cnt = np.asarray(solid.count[:ns])
+    log.info("spectrum: %d distinct %d-mers (%d solid), threshold=%d",
+             distinct, cfg.k, ns, thr)
+    return SpectrumResult(hi=hi, lo=lo, count=cnt, hist=hist,
+                          threshold=int(thr), k=cfg.k, distinct=distinct)
 
 
 def count_reads(
@@ -93,6 +195,12 @@ def count_reads(
         idx = idx[pr.category == category]
     B = cfg.batch_reads
     ndev = int(mesh.devices.size) if mesh is not None else 1
+    if ndev <= 1:
+        slots = len(idx) * (pr.pad_len - cfg.k + 1)
+        if slots <= MAX_GLOBAL_SORT:
+            return _count_reads_device(idx, pr, cfg, B)
+        log.info("spectrum: %d k-mer slots > %d, using the batched "
+                 "memory-bounded path", slots, MAX_GLOBAL_SORT)
     if ndev > 1:
         from jax.sharding import PartitionSpec as SP, NamedSharding
 

@@ -16,7 +16,11 @@ from hga_tpu.utils.sim import make_dataset
 def test_count_reads_matches_oracle_and_batches():
     ds = make_dataset(genome_len=2500, short_cov=10, long_cov=0, seed=9)
     pr = pack_reads(ds.short_seqs, names=ds.short_names, pad_len=112)
-    cfg = AssemblerConfig(k=21, batch_reads=64, max_count=32)  # forces many batches
+    # solid_threshold=1 keeps every distinct k-mer in the result so the
+    # full multiset compares bit-exactly (the fast path only reads back
+    # count >= threshold); forces many batches
+    cfg = AssemblerConfig(k=21, batch_reads=64, max_count=32,
+                          solid_threshold=1)
     res = count_reads(pr, cfg)
     reads = [(encode_bases(s)[0], encode_bases(s)[1], len(s)) for s in ds.short_seqs]
     exp = oracle.count_kmers(reads, 21)
@@ -25,7 +29,25 @@ def test_count_reads_matches_oracle_and_batches():
         for h, l, c in zip(res.hi, res.lo, res.count)
     }
     assert got == exp
+    assert res.n_distinct == len(exp)
     np.testing.assert_array_equal(res.hist, oracle.spectrum_histogram(exp, 32))
+
+
+def test_count_reads_solid_only_default_threshold():
+    ds = make_dataset(genome_len=2500, short_cov=10, long_cov=0, seed=9)
+    pr = pack_reads(ds.short_seqs, names=ds.short_names, pad_len=112)
+    cfg = AssemblerConfig(k=21, batch_reads=64, max_count=32)
+    res = count_reads(pr, cfg)
+    reads = [(encode_bases(s)[0], encode_bases(s)[1], len(s)) for s in ds.short_seqs]
+    exp = oracle.count_kmers(reads, 21)
+    got = {
+        int(oracle.join_hi_lo(h, l)): int(c)
+        for h, l, c in zip(res.hi, res.lo, res.count)
+    }
+    # hist covers the FULL distribution; the stored set is the solid subset
+    np.testing.assert_array_equal(res.hist, oracle.spectrum_histogram(exp, 32))
+    assert res.n_distinct == len(exp)
+    assert got == {km: c for km, c in exp.items() if c >= res.threshold}
 
 
 def test_threshold_and_solid_recovery():
@@ -58,7 +80,7 @@ def test_count_reads_category_filter():
     cat = np.zeros(n, np.int32)
     cat[: n // 2] = 1
     pr = pack_reads(ds.short_seqs, category=cat, pad_len=112)
-    cfg = AssemblerConfig(batch_reads=128)
+    cfg = AssemblerConfig(batch_reads=128, solid_threshold=1)
     res0 = count_reads(pr, cfg, category=0)
     reads0 = [(encode_bases(s)[0], encode_bases(s)[1], len(s))
               for s, c in zip(ds.short_seqs, cat) if c == 0]
