@@ -95,10 +95,14 @@ def _extract_batch_fn(k: int):
     return f
 
 
-# One-shot global sort cap (k-mer slots).  135M slots (E. coli 4.6 Mb at
-# cov 30) sorts in a few seconds within v5e HBM; beyond this the legacy
-# per-batch count path bounds memory instead.
-MAX_GLOBAL_SORT = 160_000_000
+# One-shot global sort cap (k-mer slots): inputs up to this sort in one
+# padded device sort; larger inputs go through the two-level hierarchical
+# merge (super-chunk sorts -> compacted distinct slices -> final weighted
+# merge), which bounds peak HBM at ~SUPER_SLOTS regardless of input size
+# (SURVEY.md §8.3-4; ROADMAP "hierarchical merge" scale item).
+MAX_GLOBAL_SORT = 1 << 26           # 67M slots
+SUPER_SLOTS = 1 << 26               # hierarchical super-chunk size
+SLICE_QUANTUM = 1 << 24             # compacted-slice size bucket (16M)
 
 
 def _count_reads_device(idx, pr: PackedReads, cfg: AssemblerConfig,
@@ -130,13 +134,51 @@ def _count_reads_device(idx, pr: PackedReads, cfg: AssemblerConfig,
 
     from hga_tpu.parallel.stream import pipelined_map
 
+    def _sorted_chunk(parts_hi, parts_lo, parts_w):
+        """Concat parts (padding to a power-of-two capacity so the
+        expensive remote sort compile is reused across dataset sizes via
+        the persistent compilation cache) and sort-count them."""
+        slots = sum(int(p.shape[0]) for p in parts_hi)
+        cap = 1 << max(22, (slots - 1).bit_length())
+        if cap > slots:
+            pad = jnp.full((cap - slots,), C.SENTINEL, jnp.uint32)
+            parts_hi = parts_hi + [pad]
+            parts_lo = parts_lo + [pad]
+            parts_w = parts_w + [jnp.zeros((cap - slots,), jnp.int32)]
+        return C.sort_and_count(jnp.concatenate(parts_hi),
+                                jnp.concatenate(parts_lo),
+                                jnp.concatenate(parts_w))
+
     parts_hi: List[jax.Array] = []
     parts_lo: List[jax.Array] = []
+    slices: List[Tuple[jax.Array, jax.Array, jax.Array]] = []
+    acc_slots = 0
+
+    def flush():
+        """Super-chunk: sort-count the accumulated parts, keep only the
+        compacted distinct slice (rounded up to SLICE_QUANTUM so the slice
+        shapes — and their compiles — repeat) on device."""
+        nonlocal parts_hi, parts_lo, acc_slots
+        if not parts_hi:
+            return
+        w = [jnp.ones((int(p.shape[0]),), jnp.int32) for p in parts_hi]
+        ck = _sorted_chunk(parts_hi, parts_lo, w)
+        n = int(ck.n)
+        m = min(int(ck.hi.shape[0]),
+                ((max(n, 1) + SLICE_QUANTUM - 1) // SLICE_QUANTUM)
+                * SLICE_QUANTUM)
+        slices.append((ck.hi[:m], ck.lo[:m], ck.count[:m]))
+        parts_hi, parts_lo, acc_slots = [], [], 0
+
+    hierarchical = (len(idx) * (pr.pad_len - cfg.k + 1)) > MAX_GLOBAL_SORT
     for hi_d, lo_d in pipelined_map(ex, batches()):
         parts_hi.append(hi_d)
         parts_lo.append(lo_d)
+        acc_slots += int(hi_d.shape[0])
+        if hierarchical and acc_slots >= SUPER_SLOTS:
+            flush()
 
-    if not parts_hi:
+    if not parts_hi and not slices:
         hist = np.zeros(cfg.max_count + 1, np.int64)
         thr = cfg.solid_threshold or solid_threshold_from_hist(hist)
         z = np.zeros(0, np.uint32)
@@ -144,21 +186,17 @@ def _count_reads_device(idx, pr: PackedReads, cfg: AssemblerConfig,
                               hist=hist, threshold=int(thr), k=cfg.k,
                               distinct=0)
 
-    # pad the global sort to a power-of-two capacity: the (expensive,
-    # remote) sort compile is then reused across dataset sizes via the
-    # persistent compilation cache (utils/compile_cache.py)
-    slots = sum(int(p.shape[0]) for p in parts_hi)
-    cap = 1 << max(22, (slots - 1).bit_length())
-    if cap > slots:
-        pad = jnp.full((cap - slots,), C.SENTINEL, jnp.uint32)
-        parts_hi.append(pad)
-        parts_lo.append(pad)
-    hi_d = jnp.concatenate(parts_hi)
-    lo_d = jnp.concatenate(parts_lo)
-    del parts_hi, parts_lo
-    merged = C.sort_and_count(hi_d, lo_d,
-                              jnp.ones(hi_d.shape[0], jnp.int32))
-    del hi_d, lo_d
+    if not slices:
+        # single-level: one global sort over the raw extracted k-mers
+        w = [jnp.ones((int(p.shape[0]),), jnp.int32) for p in parts_hi]
+        merged = _sorted_chunk(parts_hi, parts_lo, w)
+    else:
+        # two-level: weighted merge of the compacted super-chunk slices
+        flush()
+        merged = _sorted_chunk([s[0] for s in slices],
+                               [s[1] for s in slices],
+                               [s[2] for s in slices])
+    del parts_hi, parts_lo, slices
     hist = np.asarray(C.spectrum_histogram(merged, cfg.max_count))
     distinct = int(merged.n)
     thr = cfg.solid_threshold or solid_threshold_from_hist(hist)
@@ -196,11 +234,7 @@ def count_reads(
     B = cfg.batch_reads
     ndev = int(mesh.devices.size) if mesh is not None else 1
     if ndev <= 1:
-        slots = len(idx) * (pr.pad_len - cfg.k + 1)
-        if slots <= MAX_GLOBAL_SORT:
-            return _count_reads_device(idx, pr, cfg, B)
-        log.info("spectrum: %d k-mer slots > %d, using the batched "
-                 "memory-bounded path", slots, MAX_GLOBAL_SORT)
+        return _count_reads_device(idx, pr, cfg, B)
     if ndev > 1:
         from jax.sharding import PartitionSpec as SP, NamedSharding
 

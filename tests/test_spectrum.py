@@ -50,6 +50,31 @@ def test_count_reads_solid_only_default_threshold():
     assert got == {km: c for km, c in exp.items() if c >= res.threshold}
 
 
+def test_count_reads_hierarchical_merge_bit_exact(monkeypatch):
+    """Two-level super-chunk merge (judged-scale memory bound) must match
+    the oracle bit-for-bit (SURVEY.md §8.3-4)."""
+    from hga_tpu.models import spectrum as SP
+
+    monkeypatch.setattr(SP, "MAX_GLOBAL_SORT", 1 << 14)
+    monkeypatch.setattr(SP, "SUPER_SLOTS", 1 << 14)
+    monkeypatch.setattr(SP, "SLICE_QUANTUM", 1 << 10)
+    ds = make_dataset(genome_len=2500, short_cov=10, long_cov=0, seed=9)
+    pr = pack_reads(ds.short_seqs, names=ds.short_names, pad_len=112)
+    cfg = AssemblerConfig(k=21, batch_reads=64, max_count=32,
+                          solid_threshold=1)
+    res = count_reads(pr, cfg)
+    reads = [(encode_bases(s)[0], encode_bases(s)[1], len(s))
+             for s in ds.short_seqs]
+    exp = oracle.count_kmers(reads, 21)
+    got = {
+        int(oracle.join_hi_lo(h, l)): int(c)
+        for h, l, c in zip(res.hi, res.lo, res.count)
+    }
+    assert got == exp
+    assert res.n_distinct == len(exp)
+    np.testing.assert_array_equal(res.hist, oracle.spectrum_histogram(exp, 32))
+
+
 def test_threshold_and_solid_recovery():
     ds = make_dataset(genome_len=4000, short_cov=25, long_cov=0, seed=11)
     pr = pack_reads(ds.short_seqs, pad_len=112)
