@@ -40,6 +40,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--min-overlap-len", type=int, default=None)
     p.add_argument("--min-overlap-score", type=int, default=None)
     p.add_argument("--solid-threshold", type=int, default=None)
+    p.add_argument("--corr-engine", choices=["myers", "sw"], default=None,
+                   help="correction DP engine (default myers)")
     p.add_argument("--config", help="JSON config file (overridden by flags)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile", metavar="DIR",
@@ -59,7 +61,8 @@ def _build_cfg(args) -> AssemblerConfig:
                         ("min_shared", "min_shared_minimizers"),
                         ("min_overlap_len", "min_overlap_len"),
                         ("min_overlap_score", "min_overlap_score"),
-                        ("solid_threshold", "solid_threshold")]:
+                        ("solid_threshold", "solid_threshold"),
+                        ("corr_engine", "corr_engine")]:
         v = getattr(args, flag, None)
         if v is not None:
             overrides[field] = v

@@ -82,6 +82,13 @@ class AssemblerConfig:
     # alignments per correction device batch (larger amortizes the lockstep
     # traceback scan; 4096 measured ~30% faster per-alignment than 1024)
     corr_batch_pairs: int = 1024
+    # Correction DP engine: "myers" runs the bit-parallel planes kernel +
+    # plane-based traceback (ops/myers_pallas + ops/pileup, ~20x the scored
+    # DP's cell rate); "sw" keeps the scored dirs wavefront DP.  The Myers
+    # gate accepts a read->backbone alignment iff edit_distance <=
+    # (1 - min_identity) * read_len (full-query semi-global; SW clips tails
+    # instead — consensus votes are majority-robust to the difference).
+    corr_engine: str = "myers"
 
     # --- orchestration (L6) ---
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices

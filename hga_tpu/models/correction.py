@@ -185,12 +185,39 @@ def _traceback_votes(dirs, qend, tend, band, Lt, q_codes):
             cat(ins_pid), cat(ins_col), cat(ins_base), cat(ins_slot))
 
 
+def _planes_inner():
+    """Myers planes-DP dispatch: Pallas kernel on TPU, XLA elsewhere."""
+    import jax as _jax
+
+    from hga_tpu.ops.myers import myers_batch_planes
+    from hga_tpu.ops.myers_pallas import (myers_batch_planes_pallas,
+                                          planes_fit_vmem)
+
+    plat = _jax.devices()[0].platform
+
+    def inner(q, t, ql, tl):
+        N, Lq = q.shape
+        Lt = t.shape[1]
+        if (plat in ("tpu", "axon") and N % 1024 == 0
+                and planes_fit_vmem(Lq, Lt)):
+            try:
+                return myers_batch_planes_pallas(q, t, ql, tl)
+            except Exception as e:  # pragma: no cover - compiler fallback
+                log.warning("pallas planes fallback to XLA: %s", str(e)[:200])
+        return myers_batch_planes(q, t, ql, tl)
+
+    return inner
+
+
 def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
                        nb: int, Lpad: int, ins_slots: int, mesh=None):
-    """One fused device step: dirs DP -> traceback -> vote scatter.
+    """One fused device step: DP -> traceback -> vote scatter.
 
-    The column and insertion vote tensors ride in ONE flat merged buffer
-    (ops/pileup.accumulate_backbone_votes_merged).  Single device: the
+    Engine per cfg.corr_engine: "myers" runs the bit-parallel planes DP and
+    the plane-based traceback (ops/pileup.accumulate_backbone_votes_myers,
+    gate = edit rate over the full read); "sw" runs the scored dirs
+    wavefront DP (gate = min_score).  Either way the column and insertion
+    vote tensors ride in ONE flat merged buffer.  Single device: the
     buffer is donated and updated in place.  On a mesh, pairs shard over
     'data'; each chip scatters into its own replica and a psum merges them
     (SURVEY.md §3.2) — the carried buffer stays replicated.
@@ -198,16 +225,29 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
     band = cfg.band
     size_v = nb * Lpad * PU.N_SYM
     size_i = nb * Lpad * ins_slots * 4
+    use_myers = cfg.corr_engine == "myers"
+    planes = _planes_inner() if use_myers else None
 
-    def single(merged, q, t, ql, tl, bb, off, lb):
+    def votes_into(merged0, q, t, ql, tl, bb, off, lb):
+        if use_myers:
+            res, pvp, mvp = planes(q, t, ql, tl)
+            max_ed = ((1.0 - cfg.min_identity) * ql).astype(jnp.int32)
+            ok = (res.dist <= max_ed) & (ql > 0) & (res.tend > 0)
+            qend_m = jnp.where(ok, ql, 0)
+            return PU.accumulate_backbone_votes_myers(
+                merged0, pvp, mvp, res.dist, qend_m, res.tend, q, t, bb,
+                off, lb, size_v=size_v, lpad=Lpad, ins_slots=ins_slots)
         res, dirs = banded_sw_batch_dirs(
             q, t, ql, tl, band=band, match=cfg.match,
             mismatch=cfg.mismatch, gap=cfg.gap)
         qend_m = jnp.where(res.score >= min_score, res.qend, 0)
         return PU.accumulate_backbone_votes_merged(
-            merged, dirs, qend_m, res.tend, q, bb, off, lb,
+            merged0, dirs, qend_m, res.tend, q, bb, off, lb,
             size_v=size_v, lpad=Lpad, band=band, Lt=Wt,
             ins_slots=ins_slots)
+
+    def single(merged, q, t, ql, tl, bb, off, lb):
+        return votes_into(merged, q, t, ql, tl, bb, off, lb)
 
     if mesh is None or mesh.devices.size <= 1:
         return single
@@ -222,15 +262,8 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
     ndev = mesh.devices.size
 
     def local(q, t, ql, tl, bb, off, lb):
-        res, dirs = banded_sw_batch_dirs(
-            q, t, ql, tl, band=band, match=cfg.match,
-            mismatch=cfg.mismatch, gap=cfg.gap)
-        qend_m = jnp.where(res.score >= min_score, res.qend, 0)
         m0 = jnp.zeros((size_v + size_i,), jnp.int32)
-        m = PU.accumulate_backbone_votes_merged(
-            m0, dirs, qend_m, res.tend, q, bb, off, lb,
-            size_v=size_v, lpad=Lpad, band=band, Lt=Wt,
-            ins_slots=ins_slots)
+        m = votes_into(m0, q, t, ql, tl, bb, off, lb)
         return jax.lax.psum(m, "data")
 
     sharded = jax.jit(shard_map(

@@ -162,6 +162,90 @@ def myers_cols(q0, q1, vq, mend, t, tlen, state, j0=0):
     return jax.lax.fori_loop(0, Lt, col, state)
 
 
+def myers_cols_planes(q0, q1, vq, mend, t, tlen, state, j0=0):
+    """myers_cols, additionally COLLECTING the per-column Pv/Mv bit-planes.
+
+    Returns (final_state, pv_planes, mv_planes) with planes int32
+    (Lt, N, W): planes[c] is the vertical-delta state AFTER processing
+    target column j0+c+1.  D(i, j) for any cell reconstructs as the prefix
+    sum of the plane bits (+1 where Pv, -1 where Mv, bits 0..i-1), which is
+    what the plane-based traceback (ops/pileup.accumulate_backbone_votes_
+    myers) uses to re-derive alignment moves at gate speed — the TPU-native
+    replacement for the reference's scalar traceback loops (SURVEY.md C12,
+    §4.4) without a scored-DP direction tensor.
+    """
+    N, W = q0.shape
+    Lt = t.shape[1]
+    tl = tlen.astype(I32)
+    tt = t.astype(I32)
+    j0 = jnp.asarray(j0, I32)
+
+    def col(carry, j):
+        pv, mv, score, best, bj = carry
+        tc = jax.lax.dynamic_slice_in_dim(tt, j, 1, axis=1)     # (N, 1)
+        t0 = -(tc & 1)
+        t1 = -((tc >> 1) & 1)
+        tvm = -(((tc >= 0) & (tc < 4)).astype(I32))
+        eq = (vq & ~((q0 ^ t0) | (q1 ^ t1))) & tvm
+        xv = eq | mv
+        a = eq & pv
+        s_words = []
+        c = jnp.zeros((N, 1), I32)
+        for w in range(W):
+            sw = a[:, w:w + 1] + pv[:, w:w + 1] + c
+            c = jax.lax.shift_right_logical(sw, 31) & 1
+            s_words.append(sw & M31)
+        s = jnp.concatenate(s_words, axis=1)
+        xh = (s ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        pb = ph & mend
+        mb = mh & mend
+        pbit = jnp.sign(jnp.sum(jnp.abs(jnp.sign(pb)), axis=1)).astype(I32)
+        mbit = jnp.sign(jnp.sum(jnp.abs(jnp.sign(mb)), axis=1)).astype(I32)
+        score = score + pbit - mbit
+        cp = jnp.concatenate(
+            [jnp.zeros((N, 1), I32),
+             jax.lax.shift_right_logical(ph[:, :-1], 30) & 1], axis=1)
+        cm = jnp.concatenate(
+            [jnp.zeros((N, 1), I32),
+             jax.lax.shift_right_logical(mh[:, :-1], 30) & 1], axis=1)
+        ph = ((ph << 1) & M31) | cp
+        mh = ((mh << 1) & M31) | cm
+        pv = (mh | ~(xv | ph)) & M31
+        mv = ph & xv
+        jg = j0 + j
+        take = (score < best) & (jg < tl)
+        bj = jnp.where(take, jg + 1, bj)
+        best = jnp.where(take, score, best)
+        return (pv, mv, score, best, bj), (pv, mv)
+
+    final, (pvp, mvp) = jax.lax.scan(col, state,
+                                     jnp.arange(Lt, dtype=I32))
+    return final, pvp, mvp
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def myers_batch_planes(q: jax.Array, t: jax.Array, qlen: jax.Array,
+                       tlen: jax.Array, W: int = 0):
+    """myers_batch + per-column Pv/Mv planes (XLA everywhere-fallback).
+
+    Returns (MyersResult, pv_planes, mv_planes), planes int32 (Lt, N, W).
+    The TPU hot path is ops/myers_pallas.myers_batch_planes_pallas with
+    identical results.
+    """
+    N, Lq = q.shape
+    W = W or n_words(Lq)
+    q0, q1, vq, mend = query_planes(q, qlen, W)
+    state = myers_init_state(qlen, W)
+    (_, _, _, best, bj), pvp, mvp = myers_cols_planes(
+        q0, q1, vq, mend, t, tlen, state)
+    zero = qlen.astype(I32) == 0
+    res = MyersResult(dist=jnp.where(zero, 0, best),
+                      tend=jnp.where(zero, 0, bj))
+    return res, pvp, mvp
+
+
 @functools.partial(jax.jit, static_argnames=("W",))
 def myers_batch(q: jax.Array, t: jax.Array, qlen: jax.Array,
                 tlen: jax.Array, W: int = 0) -> MyersResult:

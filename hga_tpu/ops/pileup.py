@@ -191,6 +191,124 @@ def accumulate_backbone_votes_merged(
         [idx_v.reshape(-1), idx_i.reshape(-1)])].add(1, mode="drop")
 
 
+def _plane_prefix(words_pv, words_mv, i):
+    """D(i, col) from that column's Pv/Mv planes: prefix sum of the vertical
+    deltas over bits 0..i-1 (semi-global: D(0, col) = 0).
+
+    words_pv/mv: int32 (P, W) the column's planes; i: int32 (P,).
+    """
+    W = words_pv.shape[1]
+    total = jnp.zeros(i.shape, I32)
+    for w in range(W):
+        nbits = jnp.clip(i - 31 * w, 0, 31)
+        # 1<<31 wraps to INT32_MIN; -1 then wraps to M31 — exactly the
+        # 31-bit payload mask the planes use
+        mask = jnp.left_shift(jnp.int32(1), nbits) - 1
+        total = total + (jax.lax.population_count(words_pv[:, w] & mask)
+                         - jax.lax.population_count(words_mv[:, w] & mask))
+    return total
+
+
+def _plane_bit(words_pv, words_mv, i):
+    """Vertical delta at row i of a column's planes: +1/-1/0 (bit i-1)."""
+    W = words_pv.shape[1]
+    wi = (i - 1) // 31
+    bi = (i - 1) % 31
+    d = jnp.zeros(i.shape, I32)
+    for w in range(W):
+        sel = wi == w
+        pb = jax.lax.shift_right_logical(words_pv[:, w], bi) & 1
+        mb = jax.lax.shift_right_logical(words_mv[:, w], bi) & 1
+        d = jnp.where(sel, pb - mb, d)
+    return d
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("size_v", "lpad", "ins_slots"),
+                   donate_argnums=(0,))
+def accumulate_backbone_votes_myers(
+    merged: jax.Array,     # int32 (size_v + size_i,) FLAT — donated, updated
+    pv_planes: jax.Array,  # int32 (Lt, P, W) from myers planes DP
+    mv_planes: jax.Array,  # int32 (Lt, P, W)
+    dist: jax.Array,       # int32 (P,) semi-global edit distance
+    qend: jax.Array,       # int32 (P,) = qlen, pre-masked 0 by the gate
+    tend: jax.Array,       # int32 (P,) end column (1-based)
+    q: jax.Array,          # int32 (P, Lq) oriented query codes
+    t: jax.Array,          # int32 (P, Lt) backbone window codes
+    bb: jax.Array,         # int32 (P,) backbone id per pair
+    off: jax.Array,        # int32 (P,) window col -> forward backbone col
+    lb: jax.Array,         # int32 (P,) backbone true length per pair
+    size_v: int,
+    lpad: int,
+    ins_slots: int = 3,
+) -> jax.Array:
+    """Plane-based traceback + vote scatter: the Myers-engine replacement
+    for accumulate_backbone_votes_merged (same vote semantics, same merged
+    flat buffer), fed by the 675-GCUPS bit-parallel DP instead of the scored
+    dirs DP.
+
+    Moves are re-derived from the stored Pv/Mv vertical-delta planes: at
+    cell (i, j) holding distance D, the left/diagonal neighbors' distances
+    are plane prefix sums of column j-1 and the up neighbor's is D minus the
+    vertical delta bit of column j — no direction tensor is ever
+    materialized.  Precedence diag > up > left (deterministic gap
+    placement, matching utils/oracle.hw_traceback_votes bit-for-bit).
+    Traceback stops at i == 0 (free target prefix).
+    """
+    Lt, P, W = pv_planes.shape
+    Lq = q.shape[1]
+    S = Lq + Lt
+    size_all = merged.shape[0]
+    pid = jnp.arange(P, dtype=I32)
+    base_v = bb * (lpad * N_SYM)
+    base_i = bb * (lpad * ins_slots * 4) + size_v
+
+    def step(carry, _):
+        i, j, D, run, active = carry
+        jm1 = jnp.clip(j - 1, 0, Lt - 1)
+        jm2 = jnp.clip(j - 2, 0, Lt - 1)
+        pv1 = pv_planes[jm1, pid]          # (P, W) column j's planes
+        mv1 = mv_planes[jm1, pid]
+        pv2 = pv_planes[jm2, pid]          # column (j-1)'s planes
+        mv2 = mv_planes[jm2, pid]
+        # up neighbor: D(i-1, j) = D - deltaV(i, j); column 0 has D(i,0)=i
+        dv_j = jnp.where(j >= 1, _plane_bit(pv1, mv1, i), 1)
+        # left/diag neighbors need column j-1's cell values
+        dl = jnp.where(j >= 2, _plane_prefix(pv2, mv2, i), i)       # D(i,j-1)
+        dv_jm1 = jnp.where(j >= 2, _plane_bit(pv2, mv2, i), 1)
+        dd = dl - dv_jm1                                        # D(i-1,j-1)
+        qsym = q[pid, jnp.clip(i - 1, 0, Lq - 1)]
+        tsym = t[pid, jm1]
+        sub = ((qsym != tsym) | (qsym >= 4) | (tsym >= 4)).astype(I32)
+        can_diag = active & (j >= 1) & (dd + sub == D)
+        can_up = active & (dv_j == 1)
+        can_left = active & (j >= 1) & (dl + 1 == D)
+        diag = can_diag
+        up = can_up & ~diag
+        left = can_left & ~diag & ~up
+        colf = (j - 1) + off
+        in_rng = (colf >= 0) & (colf < lb)
+        sym = jnp.where(diag, qsym, 4)
+        idx_v = base_v + colf * N_SYM + sym
+        idx_v = jnp.where((diag | left) & in_rng, idx_v, size_all)
+        idx_i = (base_i + (colf * ins_slots
+                           + jnp.clip(run, 0, ins_slots - 1)) * 4
+                 + jnp.clip(qsym, 0, 3))
+        idx_i = jnp.where(up & in_rng & (run < ins_slots), idx_i, size_all)
+        run = jnp.where(up, run + 1, 0)
+        D = D - jnp.where(diag, sub, (up | left).astype(I32))
+        i = i - (diag | up).astype(I32)
+        j = j - (diag | left).astype(I32)
+        active = active & (diag | up | left) & (i >= 1)
+        return (i, j, D, run, active), (idx_v, idx_i)
+
+    init = (qend.astype(I32), tend.astype(I32), dist.astype(I32),
+            jnp.zeros((P,), I32), qend > 0)
+    _, (idx_v, idx_i) = jax.lax.scan(step, init, None, length=S)
+    return merged.at[jnp.concatenate(
+        [idx_v.reshape(-1), idx_i.reshape(-1)])].add(1, mode="drop")
+
+
 def accumulate_backbone_votes(
     votes: jax.Array,      # int32 (NB*Lpad*N_SYM,) FLAT
     ins_votes: jax.Array,  # int32 (NB*Lpad*ins_slots*4,) FLAT

@@ -154,6 +154,64 @@ def bench_myers(n_pairs: int = 8192, Lq: int = 128, Lt: int = 192) -> Dict:
     return best
 
 
+def bench_correction(n_pairs: int = 4096, Lq: int = 112, band: int = 64,
+                     engine: str = "myers") -> Dict:
+    """Correction-step alignments/s: DP + traceback + vote scatter, the
+    full fused device step of models/correction (cfg.corr_engine).
+
+    engine="myers": planes DP (Pallas on TPU) + plane-based traceback;
+    engine="sw": scored dirs wavefront DP + dirs traceback.  Same vote
+    buffer, same batch shapes as production (read pad 112, window
+    Lq + band + 8).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hga_tpu.config import AssemblerConfig
+    from hga_tpu.models.correction import _consensus_step_fn
+    from hga_tpu.ops import pileup as PU
+
+    cfg = AssemblerConfig(band=band, corr_engine=engine)
+    Wt = Lq + band + 8
+    nb, Lpad = 8, 4096
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(0, 4, (n_pairs, Lq)).astype(np.int32))
+    t = jnp.asarray(rng.integers(0, 4, (n_pairs, Wt)).astype(np.int32))
+    ql = jnp.asarray(np.full(n_pairs, Lq, np.int32))
+    tl = jnp.asarray(np.full(n_pairs, Wt, np.int32))
+    bb = jnp.asarray(rng.integers(0, nb, n_pairs).astype(np.int32))
+    off = jnp.asarray(rng.integers(0, Lpad - Wt, n_pairs).astype(np.int32))
+    lb = jnp.asarray(np.full(n_pairs, Lpad, np.int32))
+    INS = 3
+    size_v = nb * Lpad * PU.N_SYM
+    step = _consensus_step_fn(cfg, cfg.min_overlap_score, Wt, nb, Lpad, INS)
+
+    inner = 32
+
+    @jax.jit
+    def many(q, t, ql, tl, bb, off, lb):
+        m0 = jnp.zeros((size_v + nb * Lpad * INS * 4,), jnp.int32)
+
+        def body(it, m):
+            return step(m, (q + it) % 4, t, ql, tl, bb, off, lb)
+
+        return jnp.sum(jax.lax.fori_loop(0, inner, body, m0))
+
+    import time
+
+    _ = int(many(q, t, ql, tl, bb, off, lb))   # compile + warm
+    best = None
+    for _p in range(3):
+        t0 = time.perf_counter()
+        _ = int(many(q, t, ql, tl, bb, off, lb))
+        dt = (time.perf_counter() - t0) / inner
+        best = dt if best is None else min(best, dt)
+    cells = n_pairs * Lq * Wt
+    return {"engine": engine, "seconds": best,
+            "aln_per_s": n_pairs / best, "gcups": cells / best / 1e9,
+            "n_pairs": n_pairs, "Lq": Lq, "Wt": Wt}
+
+
 def bench_count(n_reads: int = 8192, read_len: int = 112, k: int = 21) -> Dict:
     """Config-1 counting reads/s (extract + sort-count + histogram)."""
     import jax
@@ -288,6 +346,9 @@ def run_benchmark(what: str = "sw", n_pairs: int = 4096) -> Dict:
         return bench_myers(n_pairs=n_pairs)
     if what == "count":
         return bench_count()
+    if what == "correction":
+        return {eng: bench_correction(n_pairs=n_pairs, engine=eng)
+                for eng in ("myers", "sw")}
     if what == "pipeline":
         return bench_pipeline()
     if what == "scaling":

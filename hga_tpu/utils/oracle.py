@@ -416,3 +416,50 @@ def edit_distance_hw(q, t) -> Tuple[int, int]:
             best, best_j = int(cur[m]), j
         prev = cur
     return best, best_j
+
+
+def hw_traceback_votes(q, t):
+    """Scalar oracle for the plane-based Myers traceback
+    (ops/pileup.accumulate_backbone_votes_myers): full semi-global DP
+    matrix, then a backward walk from (m, tend) with move precedence
+    diag > up > left, stopping at i == 0 (free target prefix).
+
+    Returns (dist, tend, subs, inss): subs = list of (col, sym) column
+    votes with col 0-based and sym in {0..3 read base, 4 deletion};
+    inss = list of (col, base, slot) insertion votes, base inserted after
+    window column col, slot counted from the END of the insertion run.
+    Codes >= 4 on either side never match (cost-1 substitutions).
+    """
+    q = np.asarray(q, dtype=np.int64)
+    t = np.asarray(t, dtype=np.int64)
+    m, n = len(q), len(t)
+    D = np.zeros((m + 1, n + 1), np.int64)
+    D[:, 0] = np.arange(m + 1)
+    for j in range(1, n + 1):
+        sub = ((q != t[j - 1]) | (q >= 4) | (t[j - 1] >= 4)).astype(np.int64)
+        for i in range(1, m + 1):
+            D[i, j] = min(D[i - 1, j - 1] + sub[i - 1], D[i - 1, j] + 1,
+                          D[i, j - 1] + 1)
+    if m == 0:
+        return 0, 0, [], []
+    tend = int(np.argmin(D[m, 1:]) + 1) if n else 0
+    if n and D[m, 0] <= D[m, tend]:
+        tend = 0
+    dist = int(D[m, tend])
+    i, j = m, tend
+    subs: list = []
+    inss: list = []
+    run = 0
+    while i >= 1:
+        sub = 1 if (j < 1 or q[i - 1] != t[j - 1] or q[i - 1] >= 4
+                    or t[j - 1] >= 4) else 0
+        if j >= 1 and D[i - 1, j - 1] + sub == D[i, j]:
+            subs.append((j - 1, int(q[i - 1])))
+            i, j, run = i - 1, j - 1, 0
+        elif D[i - 1, j] + 1 == D[i, j]:
+            inss.append((j - 1, int(q[i - 1]), run))
+            i, run = i - 1, run + 1
+        else:
+            subs.append((j - 1, 4))
+            j, run = j - 1, 0
+    return dist, tend, subs, inss

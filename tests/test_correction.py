@@ -105,3 +105,25 @@ def test_correct_long_reads_improves_identity():
     after = np.mean([identity(E.unpack_read(corr, i))
                      for i in range(corr.n_reads)])
     assert after > before + 0.1, (before, after)
+
+
+def test_engines_agree_on_polish():
+    """cfg.corr_engine="myers" (planes DP + plane traceback) and "sw"
+    (scored dirs DP) must both reconstruct the genome from an error-laden
+    draft — the engine swap changes gap placement tie-breaks, not the
+    majority consensus."""
+    genome = sim.random_genome(2500, seed=47)
+    reads, names = sim.simulate_short_reads(genome, coverage=25, read_len=100,
+                                            error_rate=0.02, seed=48)
+    pr = E.pack_reads(reads, names=names, pad_len=112)
+    draft = list(genome)
+    for p in range(60, 2400, 180):
+        draft[p] = "ACGT"[("ACGT".index(draft[p]) + 1) % 4]
+    del draft[1200]          # deletion: consensus must re-insert
+    draft = "".join(draft[:900] + ["A"] + draft[900:])  # spurious insertion
+    outs = {}
+    for eng in ("myers", "sw"):
+        cfg = CFG.replace(corr_engine=eng)
+        outs[eng] = polish_contigs([("c0", draft)], pr, cfg)[0][1]
+    assert outs["myers"] == genome
+    assert outs["sw"] == genome

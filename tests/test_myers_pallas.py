@@ -69,3 +69,31 @@ def test_two_sublane_tiles():
     ql = rng.integers(1, Lq + 1, N).astype(np.int32)
     tl = np.full(N, Lt, np.int32)
     _run(q, t, ql, tl, pair_sub=2)
+
+
+def test_planes_kernel_matches_xla_planes():
+    from hga_tpu.ops.myers import myers_batch_planes
+    from hga_tpu.ops.myers_pallas import (myers_batch_planes_pallas,
+                                          planes_fit_vmem)
+
+    rng = np.random.default_rng(7)
+    N, Lq, Lt = 128, 90, 150           # W = 3 words
+    assert planes_fit_vmem(Lq, Lt, pair_sub=1)
+    q = rng.integers(0, 4, (N, Lq)).astype(np.int32)
+    t = rng.integers(0, 4, (N, Lt)).astype(np.int32)
+    for n in range(0, N, 2):
+        off = int(rng.integers(0, Lt - Lq))
+        t[n, off:off + Lq] = q[n]
+    t[1, 40:] = 4
+    ql = rng.integers(1, Lq + 1, N).astype(np.int32)
+    ql[0] = 0
+    tl = np.full(N, Lt, np.int32)
+    got, gpv, gmv = myers_batch_planes_pallas(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql), jnp.asarray(tl),
+        pair_sub=1, interpret=True)
+    ref, rpv, rmv = myers_batch_planes(jnp.asarray(q), jnp.asarray(t),
+                                       jnp.asarray(ql), jnp.asarray(tl))
+    np.testing.assert_array_equal(np.asarray(got.dist), np.asarray(ref.dist))
+    np.testing.assert_array_equal(np.asarray(got.tend), np.asarray(ref.tend))
+    np.testing.assert_array_equal(np.asarray(gpv), np.asarray(rpv))
+    np.testing.assert_array_equal(np.asarray(gmv), np.asarray(rmv))
