@@ -158,9 +158,39 @@ def cmd_overlap(args) -> int:
 
 
 def cmd_assemble(args) -> int:
+    """Config 4.  With --overlaps (a saved overlaps.npz artifact, plus the
+    read set it indexes via --reads-npz or --short/--long) only the graph +
+    unitig stage runs — config 4 is independently drivable from stage
+    artifacts.  Without --overlaps this aliases the full pipeline."""
+    cfg = _build_cfg(args)
+    if getattr(args, "overlaps", None):
+        from hga_tpu.io.encode import PackedReads
+        from hga_tpu.io.fastq import write_fasta
+        from hga_tpu.models.assembly import assemble
+        from hga_tpu.models.overlap import OverlapRecords
+
+        if getattr(args, "reads_npz", None):
+            pr = PackedReads.load(args.reads_npz)
+        else:
+            pr_s, pr_l = _load(args)
+            pr = pr_l if pr_l is not None else pr_s
+        if pr is None:
+            print("need --reads-npz or --short/--long with --overlaps",
+                  file=sys.stderr)
+            return 2
+        ov = OverlapRecords.load(args.overlaps)
+        res = assemble(pr, ov, cfg)
+        os.makedirs(args.outdir, exist_ok=True)
+        write_fasta(os.path.join(args.outdir, "contigs.fasta"), res.contigs)
+        with open(os.path.join(args.outdir, "assembly.gfa"), "w") as fh:
+            fh.write(res.to_gfa(pr.names, pr.length))
+        print(json.dumps({"contigs": len(res.contigs),
+                          "edges_raw": res.n_edges_raw,
+                          "edges_reduced": res.n_edges_reduced}))
+        return 0
+
     from hga_tpu.models.pipeline import run_pipeline
 
-    cfg = _build_cfg(args)
     pr_s, pr_l = _load(args)
     res = run_pipeline(pr_s, pr_l, cfg, args.outdir, resume=args.resume)
     print(json.dumps(res.stats))
@@ -190,7 +220,7 @@ def cmd_correct(args) -> int:
 def cmd_eval(args) -> int:
     from hga_tpu.io.fastq import iter_records
     from hga_tpu.utils.evalx import (alignment_identity, evaluate_contigs,
-                                     exact_contig_match)
+                                     exact_contig_match, segment_identity)
 
     contigs = [(r.name, r.seq) for r in iter_records(args.contigs)]
     out = {}
@@ -199,6 +229,10 @@ def cmd_eval(args) -> int:
         out.update(evaluate_contigs(contigs, ref, k=args.k or 21))
         if args.align:
             out.update(alignment_identity(contigs, ref))
+        if args.segs:
+            from hga_tpu.parallel.mesh import auto_mesh
+
+            out.update(segment_identity(contigs, ref, mesh=auto_mesh()))
     if args.exact:
         # reference-parity harness: byte-for-byte contig-set diff vs the
         # reference assembler's output (SURVEY.md §5.3 bit-identical target)
@@ -257,6 +291,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                        help="short-read FASTQ/FASTA files")
         p.add_argument("--long", nargs="*", default=[],
                        help="long-read FASTQ/FASTA files")
+        if name == "assemble":
+            p.add_argument("--overlaps", metavar="NPZ",
+                           help="saved overlaps.npz artifact: run only the "
+                                "graph + unitig stage (config 4)")
+            p.add_argument("--reads-npz", metavar="NPZ",
+                           help="saved PackedReads artifact the overlaps "
+                                "index (e.g. corrected.npz)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("eval")
@@ -266,6 +307,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="reference assembler contigs: byte-for-byte set diff")
     p.add_argument("--align", action="store_true",
                    help="alignment-based identity via the long-read engine")
+    p.add_argument("--segs", action="store_true",
+                   help="placement-free segment identity: every contig "
+                        "segment swept against the whole genome (ring "
+                        "sequence-parallel on a mesh)")
     p.add_argument("-k", type=int, default=21)
     p.set_defaults(fn=cmd_eval)
 
@@ -281,7 +326,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("bench")
     p.add_argument("--what", default="myers",
-                   choices=["myers", "sw", "count", "pipeline", "scaling"])
+                   choices=["myers", "sw", "count", "correction",
+                            "pipeline", "scaling"])
     p.add_argument("--pairs", type=int, default=4096)
     p.set_defaults(fn=cmd_bench)
 

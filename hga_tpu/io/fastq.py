@@ -10,6 +10,14 @@ python strings.
 A faster C++ parser (hga_tpu/native) is used automatically when its shared
 library has been built; this module is the always-available fallback and the
 semantics oracle for it.
+
+Quality-score policy: FASTQ quality strings are parsed (SeqRecord.quality)
+but NOT propagated into PackedReads — consensus voting and trimming are
+quality-blind by design.  The pileup majority vote over ~20-30x depth makes
+per-base weighting a second-order effect, and dropping the quality plane
+halves L0 host memory and host->device traffic.  If reference parity ever
+demands quality-weighted consensus, the plane would be added to PackedReads
+as a 4-bit-binned tensor alongside `bad` (SURVEY.md L0 note).
 """
 
 from __future__ import annotations

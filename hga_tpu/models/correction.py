@@ -43,8 +43,8 @@ _DEBUG_SINK: Optional[dict] = None
 
 # above this many combined minimizer entries the bounded device self-join
 # would materialize O(N * max_freq) pair slots at once; switch to the
-# chunked sorted-index route (models/overlap_long.py, SURVEY.md §8.3-3)
-INDEXED_ROUTE_ENTRIES = 3_000_000
+# chunked sorted-index route (shared threshold, models/overlap_long.py)
+from hga_tpu.models.overlap_long import INDEXED_ROUTE_ENTRIES  # noqa: E402
 
 
 def find_candidates_cross(
@@ -186,9 +186,17 @@ def _traceback_votes(dirs, qend, tend, band, Lt, q_codes):
 
 
 def _planes_inner():
-    """Myers planes-DP dispatch: Pallas kernel on TPU, XLA elsewhere."""
+    """Myers planes-DP dispatch: Pallas kernel on TPU, XLA elsewhere.
+
+    The pallas kernel is probe-compiled at the shard shapes (ops/dispatch):
+    on the mesh path this runs inside jax.jit(shard_map(...)), where a
+    try/except around the call cannot catch Mosaic compile failures — they
+    surface at the outer jit's compile.  The probe decides pallas-vs-XLA
+    with a concrete bool before any kernel is embedded in the sharded
+    program (round-2 advisor fix)."""
     import jax as _jax
 
+    from hga_tpu.ops.dispatch import probe_compiles
     from hga_tpu.ops.myers import myers_batch_planes
     from hga_tpu.ops.myers_pallas import (myers_batch_planes_pallas,
                                           planes_fit_vmem)
@@ -199,11 +207,10 @@ def _planes_inner():
         N, Lq = q.shape
         Lt = t.shape[1]
         if (plat in ("tpu", "axon") and N % 1024 == 0
-                and planes_fit_vmem(Lq, Lt)):
-            try:
-                return myers_batch_planes_pallas(q, t, ql, tl)
-            except Exception as e:  # pragma: no cover - compiler fallback
-                log.warning("pallas planes fallback to XLA: %s", str(e)[:200])
+                and planes_fit_vmem(Lq, Lt)
+                and probe_compiles(myers_batch_planes_pallas, q, t, ql, tl,
+                                   label="myers_planes_pallas")):
+            return myers_batch_planes_pallas(q, t, ql, tl)
         return myers_batch_planes(q, t, ql, tl)
 
     return inner
@@ -222,6 +229,11 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
     'data'; each chip scatters into its own replica and a psum merges them
     (SURVEY.md §3.2) — the carried buffer stays replicated.
     """
+    if cfg.corr_engine not in ("myers", "sw"):
+        # validated here, not only at the CLI: a typo via JSON config or a
+        # direct AssemblerConfig(...) must not silently pick the slow engine
+        raise ValueError(f"corr_engine must be 'myers' or 'sw', "
+                         f"got {cfg.corr_engine!r}")
     band = cfg.band
     size_v = nb * Lpad * PU.N_SYM
     size_i = nb * Lpad * ins_slots * 4

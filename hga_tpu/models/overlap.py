@@ -25,7 +25,8 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Optional, Tuple
+import time
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,14 +42,24 @@ log = logging.getLogger(__name__)
 
 SENT_BASE = 4  # padding base code: never matches a real base 0..3
 
+# wall-clock split of the last overlap run (gate vs refine seconds, pair
+# counts) — read by bench/scale harnesses to answer "does the scored-SW
+# refine matter at scale?" with numbers (round-2 verdict item 3a)
+LAST_TIMINGS: Dict[str, float] = {}
+
 
 def _sw_inner(cfg: "AssemblerConfig", band: int):
     """Single-shard SW dispatch (pallas on TPU, XLA elsewhere); shapes are
-    known at trace time so the choice is static per compiled shape."""
+    known at trace time so the choice is static per compiled shape.  The
+    pallas kernel is PROBE-compiled at the shard shapes (ops/dispatch) so a
+    Mosaic failure falls back to XLA even when this runs inside an outer
+    jit(shard_map(...)) trace, where try/except around the call can no
+    longer catch compile-time errors."""
     import jax as _jax
 
     from hga_tpu.ops.align_pallas import (MAX_QUERY_LEN,
                                           banded_sw_batch_pallas)
+    from hga_tpu.ops.dispatch import probe_compiles
 
     plat = _jax.devices()[0].platform
 
@@ -56,12 +67,11 @@ def _sw_inner(cfg: "AssemblerConfig", band: int):
         N, Lq = q.shape
         if plat in ("tpu", "axon") and Lq <= MAX_QUERY_LEN and N % 8 == 0:
             tile = 128 if N % 128 == 0 else 8
-            try:
-                return banded_sw_batch_pallas(
-                    q, t, ql, tl, band=band, match=cfg.match,
-                    mismatch=cfg.mismatch, gap=cfg.gap, pair_tile=tile)
-            except Exception as e:  # pragma: no cover - compiler fallback
-                log.warning("pallas SW fallback to XLA: %s", str(e)[:200])
+            static = dict(band=band, match=cfg.match, mismatch=cfg.mismatch,
+                          gap=cfg.gap, pair_tile=tile)
+            if probe_compiles(banded_sw_batch_pallas, q, t, ql, tl,
+                              static=static, label="banded_sw_pallas"):
+                return banded_sw_batch_pallas(q, t, ql, tl, **static)
         return banded_sw_batch(q, t, ql, tl, band=band, match=cfg.match,
                                mismatch=cfg.mismatch, gap=cfg.gap)
 
@@ -89,6 +99,7 @@ def default_sw(cfg: "AssemblerConfig", mesh=None):
 def _edit_inner():
     import jax as _jax
 
+    from hga_tpu.ops.dispatch import probe_compiles
     from hga_tpu.ops.myers import myers_batch
     from hga_tpu.ops.myers_pallas import (MAX_QUERY_LEN as MAX_MYERS_LEN,
                                           myers_batch_pallas)
@@ -97,23 +108,60 @@ def _edit_inner():
 
     def inner(q, t, ql, tl):
         N, Lq = q.shape
-        if plat in ("tpu", "axon") and Lq <= MAX_MYERS_LEN and N % 1024 == 0:
-            try:
-                return myers_batch_pallas(q, t, ql, tl)
-            except Exception as e:  # pragma: no cover - compiler fallback
-                log.warning("pallas Myers fallback to XLA: %s", str(e)[:200])
+        # t.shape[0] == N: the pallas kernel tiles per-pair targets; a
+        # SHARED 1-row target (segment_identity sweeps) stays on the XLA
+        # path, which broadcasts it
+        if (plat in ("tpu", "axon") and Lq <= MAX_MYERS_LEN
+                and N % 1024 == 0 and t.shape[0] == N
+                and probe_compiles(myers_batch_pallas, q, t, ql, tl,
+                                   label="myers_pallas")):
+            return myers_batch_pallas(q, t, ql, tl)
         return myers_batch(q, t, ql, tl)
 
     return inner
 
 
-def default_edit(cfg: "AssemblerConfig", mesh=None):
+# Target length beyond which a mesh run COLUMN-SHARDS the target over the
+# chips (ring sequence-parallel Myers, parallel/ring_myers.py) instead of
+# replicating it per pair batch: at megabase Lt the per-pair window gather
+# and the single-chip column scan dominate, and the ring's per-chip
+# footprint is Lt/n_dev (SURVEY.md §3.1 SP/CP row, §6 long-context).
+RING_MIN_LT = 1 << 16
+
+
+def default_edit(cfg: "AssemblerConfig", mesh=None, ring_min_lt: int = RING_MIN_LT):
     """Edit-distance dispatch for the overlap gate (see default_sw for the
-    mesh data-parallel behavior)."""
+    mesh data-parallel behavior).  On a mesh, targets longer than
+    ring_min_lt dispatch to the ring sequence-parallel engine — the
+    long-context path (whole-genome segment sweeps, utils/evalx
+    segment_identity) where one target is shared by every query and its
+    columns live chip-sharded."""
     from hga_tpu.ops.myers import MyersResult
     from hga_tpu.parallel.mesh import shard_batch_fn
 
-    return shard_batch_fn(mesh, _edit_inner(), n_in=4, out_axes=MyersResult)
+    inner = _edit_inner()
+    sharded = shard_batch_fn(mesh, inner, n_in=4, out_axes=MyersResult)
+    if mesh is None or mesh.devices.size <= 1:
+        return sharded
+
+    from hga_tpu.parallel.ring_myers import myers_ring
+
+    ndev = mesh.devices.size
+
+    def f(q, t, ql, tl):
+        N = q.shape[0]
+        Lt = t.shape[1]
+        B = 2 * ndev
+        # ring when the target is huge OR shared (a 1-row target cannot
+        # shard over 'data' in the DP path; its columns shard instead)
+        if (Lt % ndev == 0 and N % B == 0
+                and (t.shape[0] == 1 or Lt >= ring_min_lt)):
+            return myers_ring(mesh, q, t, ql, tl)
+        if t.shape[0] == 1:
+            t = jnp.broadcast_to(t, (N, Lt))
+        return sharded(q, t, ql, tl)
+
+    return f
 
 
 @dataclasses.dataclass
@@ -298,11 +346,13 @@ def compute_overlaps(
                 codes[a], la, lb, diag, gather, nb, cfg, edit, Wt)
             yield res, seg, nb
 
+    t_gate0 = time.perf_counter()
     g_keep, g_dist = [], []
     for res, seg, nb in pipelined_map(lambda *b: b, gate_batches()):
         keep, dist = _gate_keep(res, seg, nb, cfg)
         g_keep.append(keep)
         g_dist.append(dist)
+    t_gate = time.perf_counter() - t_gate0
     keep_all = np.concatenate(g_keep)
     dist_all = np.concatenate(g_dist)
     f_a = cands.a[keep_all].astype(np.int64)
@@ -318,6 +368,7 @@ def compute_overlaps(
         return OverlapRecords(z, z, z, z, z, z, z, z, z, z)
 
     # ---- pass 2: scored SW refine on survivors (coords + score) ----
+    t_ref0 = time.perf_counter()
     batch_pairs = min(batch_pairs, max(8, 1 << (n_f - 1).bit_length()))
     outs = {k: [] for k in ("a", "b", "rel", "score", "a_start", "a_end",
                             "b_start", "b_end", "dist")}
@@ -401,7 +452,12 @@ def compute_overlaps(
            for k, v in outs.items()}
     rec = OverlapRecords(
         a_len=lengths[cat["a"]], b_len=lengths[cat["b"]], **cat)
-    log.info("overlap: %d candidates -> %d overlaps", cands.n_pairs, rec.n)
+    t_ref = time.perf_counter() - t_ref0
+    LAST_TIMINGS.update(gate_s=round(t_gate, 3), refine_s=round(t_ref, 3),
+                        gate_pairs=cands.n_pairs, refine_pairs=n_f)
+    log.info("overlap: %d candidates -> %d overlaps "
+             "(gate %.2fs on %d pairs, refine %.2fs on %d survivors)",
+             cands.n_pairs, rec.n, t_gate, cands.n_pairs, t_ref, n_f)
     return rec
 
 
@@ -477,11 +533,13 @@ def compute_overlaps_cross(
                 q, la, lb, -base_off, gather, nb, cfg, edit, Wt)
             yield res, seg, nb
 
+    t_gate0 = time.perf_counter()
     g_keep, g_dist = [], []
     for res, seg, nb in pipelined_map(lambda *x: x, gate_batches()):
         keep, dist = _gate_keep(res, seg, nb, cfg)
         g_keep.append(keep)
         g_dist.append(dist)
+    t_gate = time.perf_counter() - t_gate0
     keep_all = np.concatenate(g_keep)
     dist_all = np.concatenate(g_dist)
     f_a = a[keep_all].astype(np.int64)
@@ -497,6 +555,7 @@ def compute_overlaps_cross(
         return OverlapRecords(z, z, z, z, z, z, z, z, z, z)
 
     # ---- pass 2: scored SW refine ----
+    t_ref0 = time.perf_counter()
     batch_pairs = min(batch_pairs, max(8, 1 << (n_f - 1).bit_length()))
     outs = {k: [] for k in ("a", "b", "rel", "score", "a_start", "a_end",
                             "b_start", "b_end", "dist")}
@@ -567,5 +626,10 @@ def compute_overlaps_cross(
     rec = OverlapRecords(
         a_len=pr_a.length[cat["a"]].astype(np.int32),
         b_len=pr_b.length[cat["b"]].astype(np.int32), **cat)
-    log.info("overlap-cross: %d candidates -> %d overlaps", len(a), rec.n)
+    t_ref = time.perf_counter() - t_ref0
+    LAST_TIMINGS.update(gate_s=round(t_gate, 3), refine_s=round(t_ref, 3),
+                        gate_pairs=n0, refine_pairs=n_f)
+    log.info("overlap-cross: %d candidates -> %d overlaps "
+             "(gate %.2fs on %d pairs, refine %.2fs on %d survivors)",
+             len(a), rec.n, t_gate, n0, t_ref, n_f)
     return rec

@@ -52,6 +52,12 @@ log = logging.getLogger(__name__)
 SEG = 384          # query bases per segment (W = 13 Myers words)
 SLACK = 32         # target window slack beyond the anchored span, per side
 
+# above this many combined minimizer entries the bounded device self-join
+# (ops/pairs.candidate_pairs) would materialize O(N * max_freq) pair slots
+# at once; callers dispatch to the chunked sorted-index routes in this
+# module instead (SURVEY.md §8.3-3 static-shape discipline at scale)
+INDEXED_ROUTE_ENTRIES = 3_000_000
+
 
 @dataclasses.dataclass
 class SeedIndex:
@@ -194,6 +200,94 @@ def find_candidates_cross_indexed(
     log.info("cross-indexed: %d candidate pairs", a.size)
     return (a, cat(outs_b, np.int32), cat(outs_rel, np.int32),
             cat(outs_diag, np.int32))
+
+
+def find_candidates_all_indexed(
+    pr: PackedReads,
+    cfg: AssemblerConfig,
+    solid=None,
+    index: Optional[SeedIndex] = None,
+    chunk_reads: int = 4096,
+):
+    """Scalable ALL-VS-ALL candidates (judged config 2 at E. coli scale):
+    same pair semantics as ops.pairs.candidate_pairs mode="all" — canonical
+    a < b, rel = strand mismatch, diagonal = median over shared seeds of
+    pos_a - pos_b_oriented, kept iff >= min_shared_minimizers shared seeds
+    and the minimizer run is <= max_seed_freq — but memory bounded by the
+    read chunk, not O(N * max_freq) device pair slots (the round-2 limit:
+    the bounded device self-join caps at ~3M entries; E. coli short reads
+    are ~20M).
+
+    Each unordered anchor pair is enumerated exactly once: read a's entries
+    query the sorted index and keep hits with t > a.  Solid-k-mer masking is
+    inherited from the index side — a non-solid seed simply has no run in
+    the solid-filtered index.
+
+    Returns a SeedingResult (overflow always 0 — nothing is capacity-bound).
+    """
+    from hga_tpu.models.seeding import SeedingResult, extract_seed_entries
+
+    idx = index or build_seed_index(pr, cfg, solid=solid)
+    ent = extract_seed_entries(pr, cfg)
+    key_e = (ent.hi.astype(np.uint64) << 32) | ent.lo.astype(np.uint64)
+    S = idx.srt_key.shape[0]
+    slot0 = np.searchsorted(idx.srt_key, key_e)
+    hit = (slot0 < S) & (idx.srt_key[np.clip(slot0, 0, S - 1)] == key_e)
+    run = idx.run_of_slot[np.clip(slot0, 0, S - 1)]
+    freq = np.where(hit, idx.run_len[run], 0)
+    # repeat mask: drop the whole run past max_freq (matches candidate_pairs'
+    # entry_ok = freq <= max_freq semantics)
+    take_all = np.where(freq > cfg.max_seed_freq, 0, freq)
+    k = cfg.k
+    n = pr.n_reads
+    read_len = pr.length.astype(np.int64)
+
+    outs = {f: [] for f in ("a", "b", "rel", "diag", "shared")}
+    for a_lo in range(0, n, chunk_reads):
+        a_hi = min(n, a_lo + chunk_reads)
+        m = (ent.read >= a_lo) & (ent.read < a_hi)
+        take = take_all[m]
+        total = int(take.sum())
+        if total == 0:
+            continue
+        eidx = np.repeat(np.arange(take.shape[0]), take)
+        within = np.arange(total) - np.repeat(np.cumsum(take) - take, take)
+        sl = idx.run_start[run[m]][eidx] + within
+        a = ent.read[m][eidx].astype(np.int64)
+        t = idx.srt_read[sl].astype(np.int64)
+        keep = t > a                       # each unordered pair counted once
+        a, t, sl, eidx2 = a[keep], t[keep], sl[keep], eidx[keep]
+        if a.size == 0:
+            continue
+        rel = (ent.strand[m][eidx2] != idx.srt_strand[sl]).astype(np.int32)
+        pa = ent.pos[m][eidx2].astype(np.int64)
+        pt = idx.srt_pos[sl].astype(np.int64)
+        lt = read_len[t]
+        pt_adj = np.where(rel == 1, lt - k - pt, pt)
+        diag = pa - pt_adj
+        # aggregate per (a, t, rel): shared count + median diagonal
+        order = np.lexsort((diag, rel, t, a))
+        a, t, rel, diag = a[order], t[order], rel[order], diag[order]
+        gnew = np.ones(a.shape[0], bool)
+        gnew[1:] = ((a[1:] != a[:-1]) | (t[1:] != t[:-1])
+                    | (rel[1:] != rel[:-1]))
+        g_first = np.nonzero(gnew)[0]
+        g_len = np.diff(np.append(g_first, a.shape[0]))
+        keep_g = g_len >= cfg.min_shared_minimizers
+        med = g_first + g_len // 2
+        outs["a"].append(a[g_first][keep_g])
+        outs["b"].append(t[g_first][keep_g])
+        outs["rel"].append(rel[g_first][keep_g])
+        outs["diag"].append(diag[med][keep_g])
+        outs["shared"].append(g_len[keep_g])
+
+    cat = lambda xs: (np.concatenate(xs).astype(np.int32) if xs
+                      else np.zeros(0, np.int32))
+    res = SeedingResult(a=cat(outs["a"]), b=cat(outs["b"]),
+                        rel=cat(outs["rel"]), diag=cat(outs["diag"]),
+                        shared=cat(outs["shared"]), overflow=0)
+    log.info("all-indexed: %d candidate pairs", res.n_pairs)
+    return res
 
 
 def _anchors_for_chunk(q_lo: int, q_hi: int,

@@ -235,6 +235,7 @@ def run_pipeline(
 
     from hga_tpu.ops.align_pallas import MAX_QUERY_LEN
 
+    ov_timings: Dict = {}
     long_mode = asm_reads.pad_len > MAX_QUERY_LEN
     if long_mode:
         # long-read path: anchor chaining + segment DPs live inside
@@ -267,11 +268,16 @@ def run_pipeline(
         if st.fresh("overlaps", inputs) and os.path.exists(path("overlaps.npz")):
             ov = OverlapRecords.load(path("overlaps.npz"))
         else:
+            from hga_tpu.models.overlap import LAST_TIMINGS
+
             t0 = time.perf_counter()
             ov = compute_overlaps(asm_reads, cands, cfg, mesh=mesh)
+            # gate-vs-refine wall-clock split (the long path has no scored
+            # refine — its segments ARE the Myers engine)
+            ov_timings = dict(LAST_TIMINGS)
             ov.save(path("overlaps.npz"))
             st.done("overlaps", t0, inputs)
-    st.stats["overlaps"] = {"n": ov.n}
+    st.stats["overlaps"] = {"n": ov.n, **ov_timings}
 
     # --- stage: assembly (config 4) ---
     t0 = time.perf_counter()

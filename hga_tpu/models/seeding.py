@@ -143,7 +143,20 @@ def find_candidates(
     solid: optional (hi, lo) solid-k-mer arrays; seeds whose k-mer is not
     solid are dropped before pair generation (SURVEY.md C5: the spectrum's
     discriminative k-mers drive candidate detection in the reference).
+
+    Above ~3M minimizer entries the bounded device self-join would
+    materialize O(N * max_freq) pair slots at once; all-vs-all dispatches to
+    the chunked sorted-index route (models/overlap_long, same pair
+    semantics, memory bounded by the chunk) — the judged config-2 path at
+    E. coli scale.
     """
+    if mode == "all" and idx is None and pair_cap is None:
+        from hga_tpu.models.overlap_long import (INDEXED_ROUTE_ENTRIES,
+                                                 find_candidates_all_indexed)
+
+        est = 2 * int(pr.length.sum()) // max(cfg.w, 1)
+        if est > INDEXED_ROUTE_ENTRIES:
+            return find_candidates_all_indexed(pr, cfg, solid=solid)
     ent = extract_seed_entries(pr, cfg, idx)
     ent_hi, ent_lo = ent.hi, ent.lo
     if solid is not None and cfg.use_solid_seeds:

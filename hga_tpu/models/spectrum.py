@@ -235,56 +235,50 @@ def count_reads(
     ndev = int(mesh.devices.size) if mesh is not None else 1
     if ndev <= 1:
         return _count_reads_device(idx, pr, cfg, B)
-    if ndev > 1:
-        from jax.sharding import PartitionSpec as SP, NamedSharding
 
-        from hga_tpu.parallel import collectives as PC
+    # multi-device mesh path (single-device returned above)
+    from jax.sharding import PartitionSpec as SP, NamedSharding
 
-        B = ((B + ndev - 1) // ndev) * ndev
-        kmers_per_read = pr.pad_len - cfg.k + 1
-        # 2x-uniform capacity; the worst case (every k-mer hashing to one
-        # owner) is kept as the one-shot overflow retry (count -> allocate
-        # -> fill, SURVEY.md §8.3-4)
-        bucket_cap = 2 * (B // ndev) * kmers_per_read // ndev + 1024
-        worst_cap = (B // ndev) * kmers_per_read
-        dp = NamedSharding(mesh, SP("data"))
+    from hga_tpu.parallel import collectives as PC
 
-        def put(packed, bad, length):
-            return (jax.device_put(packed, dp), jax.device_put(bad, dp),
-                    jax.device_put(length, dp))
+    B = ((B + ndev - 1) // ndev) * ndev
+    kmers_per_read = pr.pad_len - cfg.k + 1
+    # 2x-uniform capacity; the worst case (every k-mer hashing to one
+    # owner) is kept as the one-shot overflow retry (count -> allocate
+    # -> fill, SURVEY.md §8.3-4)
+    bucket_cap = 2 * (B // ndev) * kmers_per_read // ndev + 1024
+    worst_cap = (B // ndev) * kmers_per_read
+    dp = NamedSharding(mesh, SP("data"))
 
-        def f(packed, bad, length):
-            # owner-shard (Ulysses all_to_all) counting: per-chip work is
-            # batch/n_shards; shards hold DISJOINT k-mer sets, so the host
-            # compaction below concatenates without a global re-sort
-            args = put(packed, bad, length)
-            ck, overflow = PC.count_kmers_bucketed(
-                mesh, *args, cfg.k, bucket_cap)
-            return ck, overflow, args
+    def put(packed, bad, length):
+        return (jax.device_put(packed, dp), jax.device_put(bad, dp),
+                jax.device_put(length, dp))
 
-        def take_parts(out):
-            ck, overflow, args = out
-            if int(overflow) > 0:  # pragma: no cover - skewed hash retry
-                log.info("spectrum: bucket overflow, retrying at worst case")
-                ck, _ = PC.count_kmers_bucketed(mesh, *args, cfg.k, worst_cap)
-            # per-shard compact segments: shard s's distinct k-mers sit at
-            # [s*seg, s*seg + n_s)
-            hi = np.asarray(ck.hi)
-            lo = np.asarray(ck.lo)
-            cnt = np.asarray(ck.count)
-            ns = np.asarray(ck.n)
-            seg = hi.shape[0] // ndev
-            sel = np.concatenate(
-                [np.arange(s * seg, s * seg + int(ns[s]))
-                 for s in range(ndev)])
-            return hi[sel], lo[sel], cnt[sel]
-    else:
-        f = _count_batch_fn(cfg.k)
+    def f(packed, bad, length):
+        # owner-shard (Ulysses all_to_all) counting: per-chip work is
+        # batch/n_shards; shards hold DISJOINT k-mer sets, so the host
+        # compaction below concatenates without a global re-sort
+        args = put(packed, bad, length)
+        ck, overflow = PC.count_kmers_bucketed(
+            mesh, *args, cfg.k, bucket_cap)
+        return ck, overflow, args
 
-        def take_parts(ck):
-            n = int(ck.n)
-            return (np.asarray(ck.hi[:n]), np.asarray(ck.lo[:n]),
-                    np.asarray(ck.count[:n]))
+    def take_parts(out):
+        ck, overflow, args = out
+        if int(overflow) > 0:  # pragma: no cover - skewed hash retry
+            log.info("spectrum: bucket overflow, retrying at worst case")
+            ck, _ = PC.count_kmers_bucketed(mesh, *args, cfg.k, worst_cap)
+        # per-shard compact segments: shard s's distinct k-mers sit at
+        # [s*seg, s*seg + n_s)
+        hi = np.asarray(ck.hi)
+        lo = np.asarray(ck.lo)
+        cnt = np.asarray(ck.count)
+        ns = np.asarray(ck.n)
+        seg = hi.shape[0] // ndev
+        sel = np.concatenate(
+            [np.arange(s * seg, s * seg + int(ns[s]))
+             for s in range(ndev)])
+        return hi[sel], lo[sel], cnt[sel]
 
     def batches():
         for s in range(0, len(idx), B):

@@ -171,8 +171,11 @@ def _myers_planes_kernel(qlen_ref, tlen_ref, q0_ref, q1_ref, vq_ref,
 
 
 # planes live in VMEM for the whole column loop: 2 * Lt * W * pair_sub *
-# 128 * 4 bytes must fit alongside the target tile
-PLANES_VMEM_BUDGET = 10 * 1024 * 1024
+# 128 * 4 bytes must fit alongside the target tile.  The budget leaves
+# >2x headroom under a v5e core's ~128 MiB VMEM; planes_fit_vmem doubles
+# the block estimate because with grid G > 1 the Pallas pipeline
+# double-buffers every grid-indexed block (in AND out).
+PLANES_VMEM_BUDGET = 48 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("pair_sub", "interpret"))
@@ -233,7 +236,8 @@ def myers_batch_planes_pallas(q: jax.Array, t: jax.Array, qlen: jax.Array,
 
 def planes_fit_vmem(Lq: int, Lt: int, pair_sub: int = 8) -> bool:
     W = n_words(Lq)
-    need = (2 * Lt * W + Lt + 5 * W) * pair_sub * 128 * 4
+    # x2: the grid pipeline double-buffers each block (round-2 advisor fix)
+    need = 2 * (2 * Lt * W + Lt + 5 * W) * pair_sub * 128 * 4
     return W <= MAX_WORDS and need <= PLANES_VMEM_BUDGET
 
 

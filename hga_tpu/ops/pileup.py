@@ -294,7 +294,13 @@ def accumulate_backbone_votes_myers(
         idx_i = (base_i + (colf * ins_slots
                            + jnp.clip(run, 0, ins_slots - 1)) * 4
                  + jnp.clip(qsym, 0, 3))
-        idx_i = jnp.where(up & in_rng & (run < ins_slots), idx_i, size_all)
+        # j >= 1: once the walk reaches the free target prefix (j == 0) the
+        # remaining read bases align BEFORE the window — voting them as
+        # insertions at column off-1 would be spurious when the window
+        # starts mid-backbone (off > 0).  The SW dirs engine clips these
+        # (its walk stops at j < 1); mirror that here.
+        idx_i = jnp.where(up & in_rng & (run < ins_slots) & (j >= 1),
+                          idx_i, size_all)
         run = jnp.where(up, run + 1, 0)
         D = D - jnp.where(diag, sub, (up | left).astype(I32))
         i = i - (diag | up).astype(I32)

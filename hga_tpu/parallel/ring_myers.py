@@ -49,15 +49,21 @@ def myers_ring(mesh: Mesh, q: jax.Array, t: jax.Array, qlen: jax.Array,
     """Semi-global edit distance with the TARGET column-sharded over the
     mesh's 'data' axis.
 
-    q: int32 (N, Lq); t: int32 (N, Lt) with Lt divisible by n_dev; N
-    divisible by blocks_per_dev * n_dev (callers pad queries with qlen=0
-    rows and targets with sentinel columns).  Results replicated on every
-    chip.  blocks_per_dev trades fill/drain bubble against per-step batch
-    size (see module docstring).
+    q: int32 (N, Lq); t: int32 (N, Lt) OR (1, Lt) — a single-row target is
+    SHARED by every query (the long-context case: thousands of segments
+    swept against one megabase-scale sequence whose columns live
+    chip-sharded; per-chip HBM is Lt/n_dev instead of N*Lt).  Lt must
+    divide n_dev; N must divide blocks_per_dev * n_dev (callers pad queries
+    with qlen=0 rows and targets with sentinel columns).  Results
+    replicated on every chip.  blocks_per_dev trades fill/drain bubble
+    against per-step batch size (see module docstring).
     """
     ndev = mesh.devices.size
     N, Lq = q.shape
-    Lt = t.shape[1]
+    Nt, Lt = t.shape
+    shared_t = Nt == 1
+    if not shared_t and Nt != N:
+        raise ValueError(f"t rows {Nt} must be 1 (shared) or N={N}")
     B = blocks_per_dev * ndev               # pipeline blocks
     if N % B or Lt % ndev:
         raise ValueError(f"N={N} must divide blocks B={B} and Lt={Lt} "
@@ -76,7 +82,11 @@ def myers_ring(mesh: Mesh, q: jax.Array, t: jax.Array, qlen: jax.Array,
         j0 = d * C                                   # my global column base
 
         def blk(x, b):
-            """Rows of query block b (traced), clamped for inactive steps."""
+            """Rows of query block b (traced), clamped for inactive steps.
+
+            A shared target (one row) is every block's target."""
+            if x.shape[0] == 1:
+                return x
             start = jnp.clip(b, 0, B - 1) * NB
             return jax.lax.dynamic_slice_in_dim(x, start, NB, axis=0)
 

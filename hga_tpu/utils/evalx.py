@@ -83,6 +83,76 @@ def exact_contig_match(contigs: List[Tuple[str, str]],
     )
 
 
+def segment_identity(contigs: List[Tuple[str, str]], reference: str,
+                     mesh=None, seg: int = 384,
+                     batch: int = 4096) -> Dict[str, float]:
+    """Placement-free verification: every `seg`-sized contig segment's
+    GLOBAL-best semi-global edit distance against the whole reference
+    (both strands appended), summed into one identity number.
+
+    Unlike alignment_identity (anchored chaining), nothing is seeded — a
+    segment that drifted, collapsed a repeat, or is chimeric still finds
+    its best placement anywhere and pays its true edit cost.  The sweep is
+    the production edit engine (models/overlap.default_edit): on a mesh
+    the reference's columns are CHIP-SHARDED and the recurrence streams
+    through the ring sequence-parallel engine (parallel/ring_myers) — the
+    SURVEY.md §6 long-context path, per-chip memory Lt/n_dev.
+    """
+    import jax.numpy as jnp
+
+    from hga_tpu.config import AssemblerConfig
+    from hga_tpu.io.encode import encode_bases
+    from hga_tpu.models.overlap import SENT_BASE, default_edit
+
+    if not contigs:
+        return dict(segment_identity=0.0, n_segments=0)
+    ndev = mesh.devices.size if mesh is not None else 1
+    # shared target: genome . sentinel . revcomp(genome), sentinel-padded
+    # to a multiple of the mesh size (ring chunking requirement)
+    g_fwd, _ = encode_bases(reference)
+    g_rc = 3 - g_fwd[::-1]
+    t_true = len(g_fwd) * 2 + 1
+    Lt = ((t_true + ndev - 1) // ndev) * ndev
+    t_row = np.full(Lt, SENT_BASE, np.int32)
+    t_row[: len(g_fwd)] = g_fwd
+    t_row[len(g_fwd) + 1 : t_true] = g_rc
+    t1 = jnp.asarray(t_row[None, :])
+
+    # cut contigs into fixed-width segments
+    qs, ql, owner = [], [], []
+    for ci, (_, s) in enumerate(contigs):
+        codes, _ = encode_bases(s)
+        for o in range(0, len(s), seg):
+            piece = codes[o : o + seg].astype(np.int32)
+            row = np.full(seg, SENT_BASE, np.int32)
+            row[: piece.size] = piece
+            qs.append(row)
+            ql.append(piece.size)
+            owner.append(ci)
+    q = np.stack(qs)
+    ql = np.array(ql, np.int32)
+    n_seg = q.shape[0]
+
+    edit = default_edit(AssemblerConfig(), mesh)
+    B = max(2 * ndev, 8)
+    total_dist = 0
+    for s0 in range(0, n_seg, batch):
+        qb = q[s0 : s0 + batch]
+        qlb = ql[s0 : s0 + batch]
+        nb = qb.shape[0]
+        P = ((nb + B - 1) // B) * B
+        if nb < P:
+            qb = np.pad(qb, ((0, P - nb), (0, 0)),
+                        constant_values=SENT_BASE)
+            qlb = np.pad(qlb, (0, P - nb))
+        r = edit(jnp.asarray(qb), t1, jnp.asarray(qlb),
+                 jnp.asarray(np.full(P, t_true, np.int32)))
+        total_dist += int(np.asarray(r.dist)[:nb].sum())
+    span = int(ql.sum())
+    return dict(segment_identity=1.0 - total_dist / max(span, 1),
+                n_segments=int(n_seg), segment_dist=int(total_dist))
+
+
 def alignment_identity(contigs: List[Tuple[str, str]], reference: str,
                        min_identity: float = 0.5) -> Dict[str, float]:
     """TRUE alignment identity of each contig vs the reference genome.

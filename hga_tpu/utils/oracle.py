@@ -457,7 +457,10 @@ def hw_traceback_votes(q, t):
             subs.append((j - 1, int(q[i - 1])))
             i, j, run = i - 1, j - 1, 0
         elif D[i - 1, j] + 1 == D[i, j]:
-            inss.append((j - 1, int(q[i - 1]), run))
+            # up moves at j == 0 are read bases aligning BEFORE the window
+            # (free target prefix) — not insertions after column -1
+            if j >= 1:
+                inss.append((j - 1, int(q[i - 1]), run))
             i, run = i - 1, run + 1
         else:
             subs.append((j - 1, 4))

@@ -66,6 +66,43 @@ def test_planes_prefix_reconstructs_dp(rng, Lq, Lt):
             assert np.array_equal(pref, D[1:, c])
 
 
+def test_insertion_votes_clipped_at_window_start(rng):
+    """A read prefix hanging BEFORE the window (traceback reaches j == 0
+    with i > 0) must not vote insertions at backbone column off-1 when the
+    window starts mid-backbone (off > 0) — round-2 advisor fix: the SW dirs
+    engine clips these, the plane walk must too."""
+    P, Lq, K = 8, 24, 8
+    Lt = Lq - K + 4                     # window holds exactly q's suffix
+    q = rng.integers(0, 4, (P, Lq)).astype(np.int32)
+    t = np.full((P, Lt), 4, np.int32)
+    t[:, :Lq - K] = q[:, K:]            # suffix of q == start of window
+    qlen = np.full(P, Lq, np.int32)
+    tlen = np.full(P, Lt, np.int32)
+    res, pvp, mvp = myers_batch_planes(jnp.asarray(q), jnp.asarray(t),
+                                       jnp.asarray(qlen), jnp.asarray(tlen))
+    dist = np.asarray(res.dist)
+    tend = np.asarray(res.tend)
+    assert np.all(dist == K) and np.all(tend == Lq - K)
+
+    INS, lpad, off0 = 3, 64, 5
+    size_v = P * lpad * PU.N_SYM
+    merged = jnp.zeros((size_v + P * lpad * INS * 4,), jnp.int32)
+    merged = PU.accumulate_backbone_votes_myers(
+        merged, pvp, mvp, jnp.asarray(dist), jnp.asarray(qlen),
+        jnp.asarray(tend), jnp.asarray(q), jnp.asarray(t),
+        jnp.arange(P, dtype=jnp.int32),
+        jnp.full(P, off0, jnp.int32), jnp.full(P, lpad, jnp.int32),
+        size_v=size_v, lpad=lpad, ins_slots=INS)
+    got_v = np.asarray(merged[:size_v]).reshape(P, lpad, PU.N_SYM)
+    got_i = np.asarray(merged[size_v:]).reshape(P, lpad, INS, 4)
+    # the K overhanging prefix bases are NOT insertions after column off0-1
+    assert got_i.sum() == 0
+    # the matched suffix votes land at backbone columns off0..off0+Lq-K-1
+    for p in range(P):
+        for c in range(Lq - K):
+            assert got_v[p, off0 + c, q[p, K + c]] == 1
+
+
 @pytest.mark.parametrize("Lq,Lt,seed", [(20, 40, 0), (62, 100, 1),
                                         (93, 150, 2)])
 def test_myers_traceback_votes_match_oracle(rng, Lq, Lt, seed):

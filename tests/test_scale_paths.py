@@ -39,6 +39,36 @@ def test_indexed_route_matches_device_join(ds):
     assert len(s1 - s0) <= 0.01 * len(s1) + 1
 
 
+def test_all_indexed_route_matches_device_join(ds):
+    """Config-2 at judged scale: the chunked sorted-index all-vs-all route
+    must reproduce the bounded device self-join's pair set (a, b, rel,
+    diag, shared) on small inputs."""
+    from hga_tpu.models.overlap_long import find_candidates_all_indexed
+    from hga_tpu.models.seeding import find_candidates
+
+    d, pr_s, pr_l = ds
+    cfg = AssemblerConfig(k=15, w=5, min_shared_minimizers=3)
+    dev = find_candidates(pr_s, cfg)
+    ind = find_candidates_all_indexed(pr_s, cfg, chunk_reads=37)
+    s0 = {(int(a), int(b), int(r), int(g), int(c)) for a, b, r, g, c in
+          zip(dev.a, dev.b, dev.rel, dev.diag, dev.shared)}
+    s1 = {(int(a), int(b), int(r), int(g), int(c)) for a, b, r, g, c in
+          zip(ind.a, ind.b, ind.rel, ind.diag, ind.shared)}
+    assert s0 == s1
+    # solid masking: both routes must drop non-solid seeds identically
+    from hga_tpu.models.spectrum import count_reads
+
+    spec = count_reads(pr_s, cfg)
+    solid = spec.solid_set()
+    dev_s = find_candidates(pr_s, cfg, solid=solid)
+    ind_s = find_candidates_all_indexed(pr_s, cfg, solid=solid)
+    t0 = {(int(a), int(b), int(r)) for a, b, r in
+          zip(dev_s.a, dev_s.b, dev_s.rel)}
+    t1 = {(int(a), int(b), int(r)) for a, b, r in
+          zip(ind_s.a, ind_s.b, ind_s.rel)}
+    assert t0 == t1
+
+
 def test_depth_cap_bounds_candidates(ds):
     d, pr_s, pr_l = ds
     cfg = AssemblerConfig(k=15, w=5, min_shared_minimizers=2)
