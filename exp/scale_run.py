@@ -9,6 +9,7 @@ Usage:  python -m exp.scale_run [genome_mb] [outdir]
 """
 
 import json
+import logging
 import os
 import sys
 import time
@@ -17,6 +18,9 @@ import numpy as np
 
 
 def main():
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
     gmb = float(sys.argv[1]) if len(sys.argv) > 1 else 4.6
     outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_{gmb}mb"
     G = int(gmb * 1_000_000)
@@ -56,7 +60,7 @@ def main():
                           min_identity=0.75, corr_depth_cap=20,
                           corr_batch_pairs=4096, min_contig_len=2000)
     t0 = time.perf_counter()
-    res = run_pipeline(pr_s, pr_l, cfg, outdir)
+    res = run_pipeline(pr_s, pr_l, cfg, outdir, resume=True)
     t_pipe = time.perf_counter() - t0
 
     total_reads = pr_s.n_reads + pr_l.n_reads

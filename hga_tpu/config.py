@@ -44,6 +44,13 @@ class AssemblerConfig:
     # edit_distance / segment_len <= 1 - min_identity over the expected
     # overlap segment (models/overlap.py).
     min_identity: float = 0.70
+    # Survivor coordinate refinement: "myers" derives end coords from the
+    # gate's forward pass and start coords from ONE reversed bit-parallel
+    # pass (~659 vs ~30 GCUPS — the round-2 verdict's refine-free option;
+    # score = match * (span - dist), the long-read path's convention);
+    # "sw" keeps the exact scored wavefront refine (local-SW trimmed
+    # coordinates + DP score, two banded passes per survivor).
+    overlap_refine: str = "myers"
 
     # --- graph layer (L4) ---
     min_overlap_score: int = 40

@@ -435,7 +435,19 @@ def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
     force the maximum pad (and a >GB vote tensor) onto every read
     (SURVEY.md §8.3-3 static-shape discipline at scale).  The short-read
     seed index is built once and shared across groups.
+
+    Multi-process: each process corrects a contiguous block of every
+    group's backbones on its LOCAL devices (candidate generation then only
+    joins the local backbones against the shared short-read index — the
+    host work per process drops ~1/n_proc) and the corrected sequences are
+    re-replicated by a rank-ordered gather (parallel/hostpart).
     """
+    from hga_tpu.parallel import hostpart as HP
+
+    partition = HP.nproc() > 1
+    if partition:
+        kw = dict(kw)
+        kw["mesh"] = HP.local_mesh(kw.get("mesh"))
     n = pr_long.n_reads
     order = np.argsort(pr_long.length, kind="stable")
     groups: List[np.ndarray] = []
@@ -459,12 +471,25 @@ def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
 
     corrected: List[Optional[str]] = [None] * n
     for g in groups:
+        if partition:
+            b_lo, b_hi = HP.block_range(len(g))
+            g = g[b_lo:b_hi]
+        HP.note("corr_backbones", len(g))
+        if len(g) == 0:
+            continue
         pad_g = ((int(pr_long.length[g].max()) + 31) // 32) * 32
         sub = pr_long.subset(g).with_pad(pad_g)
         log.info("correction group: %d reads @ pad %d", len(g), pad_g)
         seqs = consensus_backbones(sub, pr_short, cfg, **kw)
         for i, s in zip(g, seqs):
             corrected[i] = s
+    if partition:
+        mine = [i for i in range(n) if corrected[i] is not None]
+        g_idx, g_seqs = HP.allgather_indexed_strings(
+            mine, [corrected[i] for i in mine])
+        for i, s in zip(g_idx, g_seqs):
+            corrected[int(i)] = s
+    assert all(s is not None for s in corrected)
     # inserted bases can push a read past the original pad — re-derive it
     pad = max(pr_long.pad_len,
               ((max(len(s) for s in corrected) + 15) // 16) * 16)
@@ -475,13 +500,31 @@ def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
 
 def polish_contigs(contigs: List[Tuple[str, str]], pr_short: PackedReads,
                    cfg: AssemblerConfig, **kw) -> List[Tuple[str, str]]:
-    """Config-5 second half: polish assembled contigs with short reads."""
+    """Config-5 second half: polish assembled contigs with short reads.
+
+    Multi-process: contigs are polished in contiguous per-process blocks on
+    local devices and gathered back in order (parallel/hostpart)."""
     if not contigs:
         return []
-    names = [n for n, _ in contigs]
-    seqs = [s for _, s in contigs]
-    pad = max(len(s) for s in seqs)
-    backbones = pack_reads(seqs, names=names,
-                           category=np.ones(len(seqs), np.int32), pad_len=pad)
-    polished = consensus_backbones(backbones, pr_short, cfg, **kw)
-    return list(zip(names, polished))
+    from hga_tpu.parallel import hostpart as HP
+
+    partition = HP.nproc() > 1
+    idx = list(range(len(contigs)))
+    if partition:
+        kw = dict(kw)
+        kw["mesh"] = HP.local_mesh(kw.get("mesh"))
+        b_lo, b_hi = HP.block_range(len(contigs))
+        idx = idx[b_lo:b_hi]
+    polished_local: List[str] = []
+    if idx:
+        seqs = [contigs[i][1] for i in idx]
+        pad = max(len(s) for s in seqs)
+        backbones = pack_reads(
+            seqs, names=[contigs[i][0] for i in idx],
+            category=np.ones(len(seqs), np.int32), pad_len=pad)
+        polished_local = consensus_backbones(backbones, pr_short, cfg, **kw)
+    if partition:
+        g_idx, g_seqs = HP.allgather_indexed_strings(idx, polished_local)
+        by_i = dict(zip((int(i) for i in g_idx), g_seqs))
+        return [(contigs[i][0], by_i[i]) for i in range(len(contigs))]
+    return [(contigs[i][0], s) for i, s in zip(idx, polished_local)]

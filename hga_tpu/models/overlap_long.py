@@ -224,8 +224,13 @@ def find_candidates_all_indexed(
     the solid-filtered index.
 
     Returns a SeedingResult (overflow always 0 — nothing is capacity-bound).
+
+    Multi-process: the read-chunk loop is partitioned into contiguous chunk
+    blocks per process and the pair lists gathered rank-ordered, matching
+    the single-process output exactly (parallel/hostpart).
     """
     from hga_tpu.models.seeding import SeedingResult, extract_seed_entries
+    from hga_tpu.parallel import hostpart as HP
 
     idx = index or build_seed_index(pr, cfg, solid=solid)
     ent = extract_seed_entries(pr, cfg)
@@ -243,8 +248,12 @@ def find_candidates_all_indexed(
     read_len = pr.length.astype(np.int64)
 
     outs = {f: [] for f in ("a", "b", "rel", "diag", "shared")}
-    for a_lo in range(0, n, chunk_reads):
-        a_hi = min(n, a_lo + chunk_reads)
+    # read-granularity partition; see compute_overlaps_long on why chunk
+    # re-splitting preserves the single-process pair order
+    r_lo, r_hi = HP.block_range(n) if HP.nproc() > 1 else (0, n)
+    HP.note("cand_query_reads", r_hi - r_lo)
+    for a_lo in range(r_lo, r_hi, chunk_reads):
+        a_hi = min(r_hi, a_lo + chunk_reads)
         m = (ent.read >= a_lo) & (ent.read < a_hi)
         take = take_all[m]
         total = int(take.sum())
@@ -283,9 +292,9 @@ def find_candidates_all_indexed(
 
     cat = lambda xs: (np.concatenate(xs).astype(np.int32) if xs
                       else np.zeros(0, np.int32))
-    res = SeedingResult(a=cat(outs["a"]), b=cat(outs["b"]),
-                        rel=cat(outs["rel"]), diag=cat(outs["diag"]),
-                        shared=cat(outs["shared"]), overflow=0)
+    fields = {f: cat(v) for f, v in outs.items()}
+    fields = HP.allgather_concat(fields)
+    res = SeedingResult(overflow=0, **fields)
     log.info("all-indexed: %d candidate pairs", res.n_pairs)
     return res
 
@@ -358,8 +367,22 @@ def compute_overlaps_long(
     chunk_reads: int = 512,
     seg_batch: int = 4096,
 ) -> OverlapRecords:
-    """All-vs-all overlaps of a LONG read set (multi-kb pads)."""
-    edit = edit_fn or default_edit(cfg, mesh)
+    """All-vs-all overlaps of a LONG read set (multi-kb pads).
+
+    Multi-process: the sorted index is built on every process (the
+    reference's shared seed index, SURVEY.md §4.2 "index all_gather"), but
+    the query-chunk loop — anchor expansion, chaining, segment windows, the
+    per-chunk host work — is partitioned into contiguous chunk blocks per
+    process, DP runs on each process's local devices, and the edge lists
+    are re-replicated by a rank-ordered gather (parallel/hostpart), so a
+    2-process run does ~half the host work per process and the record order
+    matches the single-process run exactly.
+    """
+    from hga_tpu.parallel import hostpart as HP
+
+    partition = edit_fn is None and HP.nproc() > 1
+    edit = edit_fn or default_edit(
+        cfg, HP.local_mesh(mesh) if partition else mesh)
     k = cfg.k
     n = pr.n_reads
     read_len = pr.length.astype(np.int64)
@@ -387,8 +410,14 @@ def compute_overlaps_long(
     out = {f: [] for f in ("a", "b", "rel", "score", "a_start", "a_end",
                            "b_start", "b_end", "dist")}
 
-    for q_lo in range(0, n, chunk_reads):
-        q_hi = min(n, q_lo + chunk_reads)
+    # partition at READ granularity (chunking is just batching: per-chunk
+    # records come out lexsorted by ascending query read, so any contiguous
+    # chunking of a contiguous read block concatenates to the same order)
+    r_lo, r_hi = HP.block_range(n) if partition else (0, n)
+    spans = [(s, min(r_hi, s + chunk_reads))
+             for s in range(r_lo, r_hi, chunk_reads)]
+    HP.note("long_query_reads", r_hi - r_lo)
+    for q_lo, q_hi in spans:
         a_q, a_t, a_rel, a_pq, a_pt = _anchors_for_chunk(
             q_lo, q_hi, ent.read, ent.pos, ent.strand, srt_key, srt_read,
             srt_pos, srt_strand, run_start, run_len, ent_run, read_len,
@@ -406,6 +435,8 @@ def compute_overlaps_long(
 
     cat = {f: (np.concatenate(v).astype(np.int32) if v
                else np.zeros(0, np.int32)) for f, v in out.items()}
+    if partition:
+        cat = HP.allgather_concat(cat)
     rec = OverlapRecords(
         a_len=pr.length[cat["a"]].astype(np.int32),
         b_len=pr.length[cat["b"]].astype(np.int32), **cat)

@@ -160,9 +160,12 @@ class _Stage:
     def done(self, name: str, t0: float, inputs_digest: str = "") -> None:
         dt = time.perf_counter() - t0
         self.stats["stages"][name] = {"seconds": round(dt, 3)}
-        with open(self._meta_path(name), "w") as fh:
-            json.dump({"config": self.digest, "inputs": inputs_digest,
-                       "seconds": dt}, fh)
+        from hga_tpu.parallel import hostpart as HP
+
+        if HP.is_main():  # one writer per (possibly shared) outdir
+            with open(self._meta_path(name), "w") as fh:
+                json.dump({"config": self.digest, "inputs": inputs_digest,
+                           "seconds": dt}, fh)
         log.info("stage %s: %.2fs", name, dt)
 
 
@@ -183,6 +186,15 @@ def run_pipeline(
         from hga_tpu.parallel.mesh import auto_mesh
 
         mesh = auto_mesh()
+    from hga_tpu.parallel import hostpart as HP
+
+    if HP.nproc() > 1 and resume:
+        # multi-process runs partition host work per process; per-stage
+        # artifact freshness cannot be guaranteed consistently across
+        # processes, so resume is a single-process feature
+        log.warning("multi-process run: disabling --resume")
+        resume = False
+    main = HP.is_main()
     st = _Stage(outdir, resume, cfg)
     t_all = time.perf_counter()
     inputs = _inputs_digest(pr_short, pr_long)
@@ -198,7 +210,8 @@ def run_pipeline(
         else:
             t0 = time.perf_counter()
             spec = count_reads(pr_short, cfg, mesh=mesh)
-            spec.save(path("spectrum.npz"))
+            if main:
+                spec.save(path("spectrum.npz"))
             st.done("spectrum", t0, inputs)
         st.stats["spectrum"] = {"distinct": spec.n_distinct,
                                 "threshold": spec.threshold}
@@ -227,7 +240,8 @@ def run_pipeline(
                                                mesh=mesh, solid=solid)
             else:
                 asm_reads = pr_long
-            asm_reads.save(path("corrected.npz"))
+            if main:
+                asm_reads.save(path("corrected.npz"))
             st.done("corrected", t0, inputs)
 
     if asm_reads is None:
@@ -247,7 +261,8 @@ def run_pipeline(
 
             t0 = time.perf_counter()
             ov = compute_overlaps_long(asm_reads, cfg, mesh=mesh)
-            ov.save(path("overlaps.npz"))
+            if main:
+                ov.save(path("overlaps.npz"))
             st.done("overlaps", t0, inputs)
     else:
         # --- stage: candidates (config 2) ---
@@ -260,7 +275,8 @@ def run_pipeline(
             # errors must not break their mutual overlaps)
             cands = find_candidates(
                 asm_reads, cfg, solid=solid if pr_long is None else None)
-            cands.save(path("candidates.npz"))
+            if main:
+                cands.save(path("candidates.npz"))
             st.done("candidates", t0, inputs)
         st.stats["candidates"] = {"n": cands.n_pairs}
 
@@ -275,16 +291,18 @@ def run_pipeline(
             # gate-vs-refine wall-clock split (the long path has no scored
             # refine — its segments ARE the Myers engine)
             ov_timings = dict(LAST_TIMINGS)
-            ov.save(path("overlaps.npz"))
+            if main:
+                ov.save(path("overlaps.npz"))
             st.done("overlaps", t0, inputs)
     st.stats["overlaps"] = {"n": ov.n, **ov_timings}
 
     # --- stage: assembly (config 4) ---
     t0 = time.perf_counter()
     res = assemble(asm_reads, ov, cfg)
-    write_fasta(path("contigs.fasta"), res.contigs)
-    with open(path("assembly.gfa"), "w") as fh:
-        fh.write(res.to_gfa(asm_reads.names, asm_reads.length))
+    if main:
+        write_fasta(path("contigs.fasta"), res.contigs)
+        with open(path("assembly.gfa"), "w") as fh:
+            fh.write(res.to_gfa(asm_reads.names, asm_reads.length))
     st.done("assembly", t0, inputs)
     st.stats["assembly"] = {
         "contigs": len(res.contigs),
@@ -298,12 +316,14 @@ def run_pipeline(
     if pr_short is not None and res.contigs:
         t0 = time.perf_counter()
         polished = polish_contigs(res.contigs, pr_short, cfg, mesh=mesh)
-        write_fasta(path("polished.fasta"), polished)
+        if main:
+            write_fasta(path("polished.fasta"), polished)
         st.done("polish", t0, inputs)
 
     st.stats["total_seconds"] = round(time.perf_counter() - t_all, 3)
     st.stats["config"] = json.loads(cfg.to_json())
-    with open(path("run_metrics.json"), "w") as fh:
-        json.dump(st.stats, fh, indent=2)
+    if main:
+        with open(path("run_metrics.json"), "w") as fh:
+            json.dump(st.stats, fh, indent=2)
     return PipelineResult(contigs=res.contigs, polished=polished,
                           stats=st.stats)

@@ -264,16 +264,18 @@ def count_reads(
         return ck, overflow, args
 
     def take_parts(out):
+        from hga_tpu.parallel.hostpart import fetch
+
         ck, overflow, args = out
-        if int(overflow) > 0:  # pragma: no cover - skewed hash retry
+        if int(fetch(overflow)) > 0:  # pragma: no cover - skewed hash retry
             log.info("spectrum: bucket overflow, retrying at worst case")
             ck, _ = PC.count_kmers_bucketed(mesh, *args, cfg.k, worst_cap)
         # per-shard compact segments: shard s's distinct k-mers sit at
-        # [s*seg, s*seg + n_s)
-        hi = np.asarray(ck.hi)
-        lo = np.asarray(ck.lo)
-        cnt = np.asarray(ck.count)
-        ns = np.asarray(ck.n)
+        # [s*seg, s*seg + n_s); multi-process shards are gathered (fetch)
+        hi = fetch(ck.hi)
+        lo = fetch(ck.lo)
+        cnt = fetch(ck.count)
+        ns = fetch(ck.n)
         seg = hi.shape[0] // ndev
         sel = np.concatenate(
             [np.arange(s * seg, s * seg + int(ns[s]))
