@@ -15,15 +15,26 @@ import sys
 
 
 def main() -> int:
-    from hga_tpu.utils.benchmarks import BASELINE_GCUPS, bench_myers
+    from hga_tpu.utils.benchmarks import (BASELINE_GCUPS, bench_myers,
+                                          bench_sw)
 
     res = bench_myers(n_pairs=8192)
-    print(json.dumps({
+    line = {
         "metric": "overlap_dp_gcups_per_chip",
         "value": round(res["gcups"], 3),
         "unit": "GCUPS",
         "vs_baseline": round(res["gcups"] / BASELINE_GCUPS, 4),
-    }))
+    }
+    # secondary engine (the optional scored-SW refine, cfg.overlap_refine
+    # = "sw"; the default "myers" refine rides the headline engine) —
+    # reported alongside so both engines' GCUPS are on record
+    try:
+        sw = bench_sw(n_pairs=4096)
+        line["scored_sw_gcups"] = round(sw["gcups"], 3)
+        line["scored_sw_impl"] = sw["impl"]
+    except Exception as e:  # secondary must never sink the headline
+        line["scored_sw_error"] = repr(e)[:120]
+    print(json.dumps(line))
     return 0
 
 

@@ -42,6 +42,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--solid-threshold", type=int, default=None)
     p.add_argument("--corr-engine", choices=["myers", "sw"], default=None,
                    help="correction DP engine (default myers)")
+    p.add_argument("--use-quality", action="store_true", default=None,
+                   help="quality-weighted consensus votes: keep the short "
+                        "reads' FASTQ quality plane and weigh each pileup "
+                        "vote by its base's phred tier (requires FASTQ "
+                        "input and corr-engine myers)")
     p.add_argument("--config", help="JSON config file (overridden by flags)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile", metavar="DIR",
@@ -62,7 +67,8 @@ def _build_cfg(args) -> AssemblerConfig:
                         ("min_overlap_len", "min_overlap_len"),
                         ("min_overlap_score", "min_overlap_score"),
                         ("solid_threshold", "solid_threshold"),
-                        ("corr_engine", "corr_engine")]:
+                        ("corr_engine", "corr_engine"),
+                        ("use_quality", "use_quality")]:
         v = getattr(args, flag, None)
         if v is not None:
             overrides[field] = v
@@ -72,7 +78,8 @@ def _build_cfg(args) -> AssemblerConfig:
 def _load(args):
     from hga_tpu.models.pipeline import load_reads
 
-    return load_reads(args.short or [], getattr(args, "long", None) or [])
+    return load_reads(args.short or [], getattr(args, "long", None) or [],
+                      keep_quality=bool(getattr(args, "use_quality", False)))
 
 
 def cmd_count(args) -> int:
@@ -243,7 +250,7 @@ def cmd_eval(args) -> int:
 
 
 def cmd_simulate(args) -> int:
-    from hga_tpu.io.fastq import write_fasta
+    from hga_tpu.io.fastq import write_fasta, write_fastq
     from hga_tpu.utils import sim
 
     ds = sim.make_dataset(genome_len=args.genome_len,
@@ -253,8 +260,17 @@ def cmd_simulate(args) -> int:
     os.makedirs(args.outdir, exist_ok=True)
     write_fasta(os.path.join(args.outdir, "genome.fasta"),
                 [("genome", ds.genome)])
-    write_fasta(os.path.join(args.outdir, "short.fasta"),
-                list(zip(ds.short_names, ds.short_seqs)))
+    if args.fastq:
+        # re-simulate shorts with per-base qualities (same seed -> same
+        # reads) so `hga pipeline --use-quality` runs end to end on sim data
+        ss, sn, sq = sim.simulate_short_reads(
+            ds.genome, coverage=args.short_cov, error_rate=args.short_err,
+            seed=args.seed + 1, return_quals=True)
+        write_fastq(os.path.join(args.outdir, "short.fastq"),
+                    list(zip(sn, ss, sq)))
+    else:
+        write_fasta(os.path.join(args.outdir, "short.fasta"),
+                    list(zip(ds.short_names, ds.short_seqs)))
     if ds.long_seqs:
         write_fasta(os.path.join(args.outdir, "long.fasta"),
                     list(zip(ds.long_names, ds.long_seqs)))
@@ -322,12 +338,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--short-err", type=float, default=0.01)
     p.add_argument("--long-err", type=float, default=0.10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fastq", action="store_true",
+                   help="write short reads as FASTQ with per-base "
+                        "qualities (enables --use-quality downstream)")
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("bench")
     p.add_argument("--what", default="myers",
                    choices=["myers", "sw", "count", "correction",
-                            "pipeline", "scaling"])
+                            "pipeline", "scaling", "comm"])
     p.add_argument("--pairs", type=int, default=4096)
     p.set_defaults(fn=cmd_bench)
 

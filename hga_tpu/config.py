@@ -96,6 +96,15 @@ class AssemblerConfig:
     # (1 - min_identity) * read_len (full-query semi-global; SW clips tails
     # instead — consensus votes are majority-robust to the difference).
     corr_engine: str = "myers"
+    # Quality-weighted consensus votes (FASTQ quality plane, SURVEY.md L0
+    # per-read metadata).  Off by default: votes count 1 per covering read
+    # (the parse-and-drop policy documented in io/fastq.py).  On, and when
+    # the short reads carry a quality plane (PackedReads.qual), each vote
+    # weighs its base's phred tier — 1 (q < 13), 2 (13 <= q < 28), 3
+    # (q >= 28); deletion/insertion votes weigh the flanking read base.
+    # min_pileup_depth is then in weighted units.  Requires
+    # corr_engine="myers" (the production engine).
+    use_quality: bool = False
 
     # --- orchestration (L6) ---
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices

@@ -60,6 +60,10 @@ class PackedReads:
     length:  int32[R]   true read lengths (<= pad_len)
     names:   read ids (host-side only)
     category:int32[R]   source-file category (0=short/Illumina, 1=long/nanopore)
+    qual:    optional uint8[R, pad_len] phred scores (0 past length) — the
+             FASTQ quality plane, carried only when quality-weighted
+             consensus is requested (cfg.use_quality; SURVEY.md L0
+             per-read metadata).  None by default (io/fastq.py policy).
     """
 
     packed: np.ndarray
@@ -68,6 +72,7 @@ class PackedReads:
     names: List[str]
     category: np.ndarray
     pad_len: int
+    qual: Optional[np.ndarray] = None
 
     @property
     def n_reads(self) -> int:
@@ -85,6 +90,7 @@ class PackedReads:
             names=[self.names[int(i)] for i in idx],
             category=self.category[idx],
             pad_len=self.pad_len,
+            qual=self.qual[idx] if self.qual is not None else None,
         )
 
     def with_pad(self, pad_len: int) -> "PackedReads":
@@ -106,11 +112,19 @@ class PackedReads:
         else:
             packed = np.pad(self.packed, ((0, 0), (0, W - self.packed.shape[1])))
             bad = np.pad(self.bad, ((0, 0), (0, WB - self.bad.shape[1])))
+        qual = None
+        if self.qual is not None:
+            if pad_len <= self.qual.shape[1]:
+                qual = self.qual[:, :pad_len]
+            else:
+                qual = np.pad(self.qual,
+                              ((0, 0), (0, pad_len - self.qual.shape[1])))
         return PackedReads(packed=packed, bad=bad, length=self.length,
                            names=self.names, category=self.category,
-                           pad_len=pad_len)
+                           pad_len=pad_len, qual=qual)
 
     def save(self, path: str) -> None:
+        extra = {} if self.qual is None else {"qual": self.qual}
         np.savez_compressed(
             path,
             packed=self.packed,
@@ -119,6 +133,7 @@ class PackedReads:
             names=np.array(self.names),
             category=self.category,
             pad_len=np.int64(self.pad_len),
+            **extra,
         )
 
     @staticmethod
@@ -131,6 +146,7 @@ class PackedReads:
             names=[str(x) for x in z["names"]],
             category=z["category"],
             pad_len=int(z["pad_len"]),
+            qual=z["qual"] if "qual" in z.files else None,
         )
 
 
@@ -158,11 +174,14 @@ def pack_reads(
     names: Optional[Sequence[str]] = None,
     category: Optional[Sequence[int]] = None,
     pad_len: Optional[int] = None,
+    quals: Optional[Sequence[Optional[str]]] = None,
 ) -> PackedReads:
     """Pack a list of sequences into a fixed-width PackedReads batch.
 
     pad_len defaults to the max read length rounded up to a multiple of 16.
     Reads longer than pad_len are truncated (callers bucket by length first).
+    quals: optional per-read FASTQ quality strings (phred+33); when given,
+    the batch carries a uint8 quality plane (missing entries score 0).
     """
     n = len(seqs)
     lengths = np.array([len(s) for s in seqs], dtype=np.int32)
@@ -182,6 +201,15 @@ def pack_reads(
         bad[i] = _pack_1bit(badbits, n_mask_words)
     lengths = np.minimum(lengths, pad_len)
 
+    qual = None
+    if quals is not None:
+        qual = np.zeros((n, pad_len), dtype=np.uint8)
+        for i, qs in enumerate(quals):
+            if not qs:
+                continue
+            raw = np.frombuffer(qs.encode("ascii"), np.uint8)[:pad_len]
+            qual[i, : raw.size] = np.maximum(raw, 33) - 33  # phred+33
+
     return PackedReads(
         packed=packed,
         bad=bad,
@@ -193,6 +221,7 @@ def pack_reads(
             else np.zeros(n, dtype=np.int32)
         ),
         pad_len=pad_len,
+        qual=qual,
     )
 
 

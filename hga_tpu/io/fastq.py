@@ -12,12 +12,14 @@ library has been built; this module is the always-available fallback and the
 semantics oracle for it.
 
 Quality-score policy: FASTQ quality strings are parsed (SeqRecord.quality)
-but NOT propagated into PackedReads — consensus voting and trimming are
-quality-blind by design.  The pileup majority vote over ~20-30x depth makes
-per-base weighting a second-order effect, and dropping the quality plane
-halves L0 host memory and host->device traffic.  If reference parity ever
-demands quality-weighted consensus, the plane would be added to PackedReads
-as a 4-bit-binned tensor alongside `bad` (SURVEY.md L0 note).
+and by DEFAULT not propagated into PackedReads — consensus voting and
+trimming are quality-blind.  The pileup majority vote over ~20-30x depth
+makes per-base weighting a second-order effect, and dropping the quality
+plane halves L0 host memory and host->device traffic.  Opt in with
+`load_reads(..., keep_quality=True)` / `hga ... --use-quality`: the plane
+rides PackedReads.qual (uint8 phred) and consensus votes weigh each base's
+phred tier (cfg.use_quality, models/correction.py; SURVEY.md L0 per-read
+quality metadata).
 """
 
 from __future__ import annotations

@@ -240,7 +240,11 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
     use_myers = cfg.corr_engine == "myers"
     planes = _planes_inner() if use_myers else None
 
-    def votes_into(merged0, q, t, ql, tl, bb, off, lb):
+    def votes_into(merged0, q, t, ql, tl, bb, off, lb, qw=None):
+        # codes/weights ride host->device as int8 (4x fewer tunnel bytes)
+        q, t = q.astype(jnp.int32), t.astype(jnp.int32)
+        if qw is not None:
+            qw = qw.astype(jnp.int32)
         if use_myers:
             res, pvp, mvp = planes(q, t, ql, tl)
             max_ed = ((1.0 - cfg.min_identity) * ql).astype(jnp.int32)
@@ -248,7 +252,11 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
             qend_m = jnp.where(ok, ql, 0)
             return PU.accumulate_backbone_votes_myers(
                 merged0, pvp, mvp, res.dist, qend_m, res.tend, q, t, bb,
-                off, lb, size_v=size_v, lpad=Lpad, ins_slots=ins_slots)
+                off, lb, qw, size_v=size_v, lpad=Lpad, ins_slots=ins_slots)
+        if qw is not None:
+            raise ValueError(
+                "use_quality requires corr_engine='myers' (the production "
+                "engine); the scored-dirs engine is unweighted")
         res, dirs = banded_sw_batch_dirs(
             q, t, ql, tl, band=band, match=cfg.match,
             mismatch=cfg.mismatch, gap=cfg.gap)
@@ -258,8 +266,8 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
             size_v=size_v, lpad=Lpad, band=band, Lt=Wt,
             ins_slots=ins_slots)
 
-    def single(merged, q, t, ql, tl, bb, off, lb):
-        return votes_into(merged, q, t, ql, tl, bb, off, lb)
+    def single(merged, q, t, ql, tl, bb, off, lb, qw=None):
+        return votes_into(merged, q, t, ql, tl, bb, off, lb, qw)
 
     if mesh is None or mesh.devices.size <= 1:
         return single
@@ -272,20 +280,28 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
         from jax import shard_map
 
     ndev = mesh.devices.size
+    sharded_cache = {}
 
-    def local(q, t, ql, tl, bb, off, lb):
-        m0 = jnp.zeros((size_v + size_i,), jnp.int32)
-        m = votes_into(m0, q, t, ql, tl, bb, off, lb)
-        return jax.lax.psum(m, "data")
+    def make_sharded(weighted: bool):
+        n_in = 8 if weighted else 7
 
-    sharded = jax.jit(shard_map(
-        local, mesh=mesh, in_specs=(P("data"),) * 7,
-        out_specs=P(), check_rep=False))
+        def local(*args):
+            m0 = jnp.zeros((size_v + size_i,), jnp.int32)
+            m = votes_into(m0, *args)
+            return jax.lax.psum(m, "data")
 
-    def step(merged, q, t, ql, tl, bb, off, lb):
+        return jax.jit(shard_map(
+            local, mesh=mesh, in_specs=(P("data"),) * n_in,
+            out_specs=P(), check_rep=False))
+
+    def step(merged, q, t, ql, tl, bb, off, lb, qw=None):
         if q.shape[0] % ndev:
-            return single(merged, q, t, ql, tl, bb, off, lb)
-        return merged + sharded(q, t, ql, tl, bb, off, lb)
+            return single(merged, q, t, ql, tl, bb, off, lb, qw)
+        weighted = qw is not None
+        if weighted not in sharded_cache:
+            sharded_cache[weighted] = make_sharded(weighted)
+        args = (q, t, ql, tl, bb, off, lb) + ((qw,) if weighted else ())
+        return merged + sharded_cache[weighted](*args)
 
     return step
 
@@ -321,6 +337,17 @@ def consensus_backbones(
     Lq = r_codes.shape[1]
     past = np.arange(Lq)[None, :] >= reads.length[:, None]
     r_codes[past] = SENT_BASE
+    # quality-weighted votes (cfg.use_quality): phred -> tier weights 1..3
+    # (io/fastq.py policy note; weights ride the oriented query frame)
+    r_qw = None
+    if cfg.use_quality:
+        if reads.qual is None:
+            log.warning("use_quality=True but reads carry no quality plane "
+                        "(load with keep_quality) — votes stay unweighted")
+        else:
+            qph = reads.qual[:, :Lq].astype(np.int32)
+            r_qw = (1 + (qph >= 13) + (qph >= 28)).astype(np.int32)
+            r_qw[past] = 0
     b_codes_fwd = unpack_codes(backbones.packed).astype(np.int32)
     pastb = np.arange(Lpad)[None, :] >= backbones.length[:, None]
     b_codes_fwd[pastb] = SENT_BASE
@@ -363,12 +390,36 @@ def consensus_backbones(
                         SENT_BASE)
         q_rc = np.where(q_rc < 4, 3 - q_rc, q_rc)
         q = np.where(flip[:, None], q_rc, q).astype(np.int32)
-        qlen = np.where(np.arange(P) < nbatch, reads.length[aa], 0).astype(np.int32)
+        qw_b = None
+        if r_qw is not None:  # weights ride the same orientation (no compl.)
+            wq = r_qw[aa]
+            w_rev = np.where(
+                qidx >= 0,
+                np.take_along_axis(wq, np.clip(qidx, 0, Lq - 1), 1), 0)
+            qw_b = np.where(flip[:, None], w_rev, wq).astype(np.int32)
         # candidate diag was estimated with the BACKBONE oriented; with the
         # read flipped instead, the expected forward-frame diagonal becomes
         # diag' = la - lb - diag (seed algebra), i.e. off = -diag' - band/2
         lb = backbones.length[bb].astype(np.int64)
         off = np.where(flip, dd + lb - la, -dd).astype(np.int64) - cfg.band // 2
+        # Clip the read to its expected IN-BACKBONE segment (round-2 advisor
+        # item 5): a read overhanging the backbone start/end would pay one
+        # edit per overhang base against sentinels under the full-read Myers
+        # gate and be dropped, thinning pileup depth at contig flanks.  The
+        # expected alignment puts oriented read pos i at backbone column
+        # i + base_off; only i in [-base_off, lb - base_off) lands in range.
+        base_off = off + cfg.band // 2
+        qs = np.clip(-base_off, 0, la)
+        seg = np.clip(lb - base_off, qs, la) - qs
+        x = np.arange(Lq)[None, :]
+        gidx = np.clip(x + qs[:, None], 0, Lq - 1)
+        q = np.where(x < seg[:, None],
+                     np.take_along_axis(q, gidx, 1), SENT_BASE).astype(np.int32)
+        if qw_b is not None:
+            qw_b = np.where(x < seg[:, None],
+                            np.take_along_axis(qw_b, gidx, 1), 0).astype(np.int32)
+        off = off + qs          # window base follows the clipped segment
+        qlen = np.where(np.arange(P) < nbatch, seg, 0).astype(np.int32)
         pos_f = np.arange(Wt)[None, :] + off[:, None]
         in_range = (pos_f >= 0) & (pos_f < lb[:, None])
         b_flat = b_codes_fwd.reshape(-1)
@@ -378,11 +429,14 @@ def consensus_backbones(
         # entire DP + traceback + vote scatter stays on device: the
         # (D, P, W) dirs tensor never crosses to host (SURVEY.md L5)
         merged = step(
-            merged, jnp.asarray(q), jnp.asarray(t_win),
+            merged, jnp.asarray(q.astype(np.int8)),
+            jnp.asarray(t_win.astype(np.int8)),
             jnp.asarray(qlen), jnp.asarray(tlen),
             jnp.asarray(bb.astype(np.int32)),
             jnp.asarray(off.astype(np.int32)),
-            jnp.asarray(lb.astype(np.int32)))
+            jnp.asarray(lb.astype(np.int32)),
+            jnp.asarray(qw_b.astype(np.int8)) if qw_b is not None
+            else None)
 
     # device consensus call over all backbones at once, straight off the
     # flat device vote buffer (no host round-trip of the votes)

@@ -64,14 +64,23 @@ def _sw_inner(cfg: "AssemblerConfig", band: int):
     plat = _jax.devices()[0].platform
 
     def inner(q, t, ql, tl):
+        # codes ride host->device as int8 (4x fewer tunnel bytes); widen
+        # on device where the cast fuses into the kernel prologue
+        q, t = q.astype(jnp.int32), t.astype(jnp.int32)
         N, Lq = q.shape
         if plat in ("tpu", "axon") and Lq <= MAX_QUERY_LEN and N % 8 == 0:
             tile = 128 if N % 128 == 0 else 8
-            static = dict(band=band, match=cfg.match, mismatch=cfg.mismatch,
-                          gap=cfg.gap, pair_tile=tile)
-            if probe_compiles(banded_sw_batch_pallas, q, t, ql, tl,
-                              static=static, label="banded_sw_pallas"):
-                return banded_sw_batch_pallas(q, t, ql, tl, **static)
+            Lt = t.shape[1]
+            # prefer the int16 2x-packed state when scores/d-ids fit
+            # (bit-exact by construction; tests/test_align_pallas.py)
+            for narrow in (cfg.match * Lq < 32767
+                           and 2 * (Lq + Lt) + 128 < 32767, False):
+                static = dict(band=band, match=cfg.match,
+                              mismatch=cfg.mismatch, gap=cfg.gap,
+                              pair_tile=tile, narrow=bool(narrow))
+                if probe_compiles(banded_sw_batch_pallas, q, t, ql, tl,
+                                  static=static, label="banded_sw_pallas"):
+                    return banded_sw_batch_pallas(q, t, ql, tl, **static)
         return banded_sw_batch(q, t, ql, tl, band=band, match=cfg.match,
                                mismatch=cfg.mismatch, gap=cfg.gap)
 
@@ -107,6 +116,7 @@ def _edit_inner():
     plat = _jax.devices()[0].platform
 
     def inner(q, t, ql, tl):
+        q, t = q.astype(jnp.int32), t.astype(jnp.int32)  # int8 on the wire
         N, Lq = q.shape
         # t.shape[0] == N: the pallas kernel tiles per-pair targets; a
         # SHARED 1-row target (segment_identity sweeps) stays on the XLA
@@ -279,7 +289,8 @@ def _myers_gate(q, la, lb, diag, t_gather, nb, cfg, edit, Wt):
     # dispatch only — the caller forces results a couple of batches later,
     # overlapping this batch's device sweep with the next batch's host
     # window gathers (parallel/stream.py PP analog)
-    res = edit(jnp.asarray(q_seg), jnp.asarray(t_m),
+    res = edit(jnp.asarray(q_seg.astype(np.int8)),
+               jnp.asarray(t_m.astype(np.int8)),
                jnp.asarray(seg.astype(np.int32)),
                jnp.asarray(np.full(P, Wt, np.int32)))
     return res, seg, qs
@@ -324,7 +335,8 @@ def _myers_refine(q, qs, seg, dist, off_m, t_win, nb, cfg, edit, Wt):
     P, Lq = q.shape
     q_rev = _rev_segment(q, qs, seg, Lq)
     t_rev = t_win[:, ::-1].copy()
-    res = edit(jnp.asarray(q_rev), jnp.asarray(t_rev),
+    res = edit(jnp.asarray(q_rev.astype(np.int8)),
+               jnp.asarray(t_rev.astype(np.int8)),
                jnp.asarray(seg.astype(np.int32)),
                jnp.asarray(np.full(P, Wt, np.int32)))
     dist_r = np.asarray(res.dist).astype(np.int64)
@@ -505,7 +517,8 @@ def compute_overlaps(
         t_win = _window_gather(t_or, lengths[b].astype(np.int64), off, Wt)
         tlen = np.where(np.arange(P) < nb, Wt, 0).astype(np.int32)
 
-        fwd = sw(jnp.asarray(q), jnp.asarray(t_win), jnp.asarray(qlen),
+        fwd = sw(jnp.asarray(q.astype(np.int8)),
+                 jnp.asarray(t_win.astype(np.int8)), jnp.asarray(qlen),
                  jnp.asarray(tlen), cfg.band)
         score = np.asarray(fwd.score)
         qend = np.asarray(fwd.qend)
@@ -525,7 +538,8 @@ def compute_overlaps(
         tr = np.where(tidx >= 0,
                       np.take_along_axis(t_win, np.clip(tidx, 0, Wt - 1), 1),
                       SENT_BASE).astype(np.int32)
-        rev = sw(jnp.asarray(qr), jnp.asarray(tr),
+        rev = sw(jnp.asarray(qr.astype(np.int8)),
+                 jnp.asarray(tr.astype(np.int8)),
                  jnp.asarray(qend.astype(np.int32)),
                  jnp.asarray(tend.astype(np.int32)), 2 * cfg.band)
         rscore = np.asarray(rev.score)
@@ -756,7 +770,8 @@ def compute_overlaps_cross(
         t_win = _b_gather(bb, lb, off)
         tlen = np.where(np.arange(P) < nb, Wt, 0).astype(np.int32)
 
-        fwd = sw(jnp.asarray(q), jnp.asarray(t_win), jnp.asarray(qlen),
+        fwd = sw(jnp.asarray(q.astype(np.int8)),
+                 jnp.asarray(t_win.astype(np.int8)), jnp.asarray(qlen),
                  jnp.asarray(tlen), cfg.band)
         score = np.asarray(fwd.score)
         qend = np.asarray(fwd.qend)
@@ -769,7 +784,8 @@ def compute_overlaps_cross(
         tr = np.where(tidx >= 0,
                       np.take_along_axis(t_win, np.clip(tidx, 0, Wt - 1), 1),
                       SENT_BASE).astype(np.int32)
-        rev = sw(jnp.asarray(qr), jnp.asarray(tr),
+        rev = sw(jnp.asarray(qr.astype(np.int8)),
+                 jnp.asarray(tr.astype(np.int8)),
                  jnp.asarray(qend.astype(np.int32)),
                  jnp.asarray(tend.astype(np.int32)), 2 * cfg.band)
         rscore = np.asarray(rev.score)

@@ -580,7 +580,8 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, codes, read_len, cfg, edit,
         t_or = np.where(head[:, None],
                         _rev_rows(t_or, twin_len), t_or)
 
-        r = edit(jnp.asarray(qwin), jnp.asarray(t_or),
+        r = edit(jnp.asarray(qwin.astype(np.int8)),
+                 jnp.asarray(t_or.astype(np.int8)),
                  jnp.asarray(seglen.astype(np.int32)),
                  jnp.asarray(twin_len.astype(np.int32)))
         dist = np.asarray(r.dist).astype(np.int64)[:nbv]

@@ -72,35 +72,41 @@ def load_reads(
     long_paths: Sequence[str] = (),
     short_pad: Optional[int] = None,
     long_pad: Optional[int] = None,
+    keep_quality: bool = False,
 ) -> Tuple[Optional[PackedReads], Optional[PackedReads]]:
     """Stream FASTQ/FASTA files into packed short/long read batches.
 
     When pad lengths are known up front and the native C++ parser built, the
     packing happens in native code (single pass, no Python string objects);
     otherwise the pure-Python reader runs (two passes over lengths).
+    keep_quality=True retains the SHORT reads' FASTQ quality plane
+    (PackedReads.qual; consumed by cfg.use_quality consensus weighting) —
+    quality-keeping loads always use the Python reader.
     """
     from hga_tpu.io import native as NV
 
-    if NV.available() and short_pad is not None and (
-            not long_paths or long_pad is not None):
+    if (NV.available() and not keep_quality and short_pad is not None
+            and (not long_paths or long_pad is not None)):
         pr_s = _load_native(short_paths, short_pad, 0) if short_paths else None
         pr_l = _load_native(long_paths, long_pad, 1) if long_paths else None
         return pr_s, pr_l
 
-    shorts, snames, longs, lnames = [], [], [], []
+    shorts, snames, squals, longs, lnames = [], [], [], [], []
     for rec in read_sequence_files(list(short_paths) + list(long_paths),
                                    categories=[0] * len(short_paths)
                                    + [1] * len(long_paths)):
         if rec.category == 0:
             shorts.append(rec.seq)
             snames.append(rec.name)
+            squals.append(rec.quality)
         else:
             longs.append(rec.seq)
             lnames.append(rec.name)
     pr_s = pr_l = None
     if shorts:
         pad = short_pad or _round16(max(len(s) for s in shorts))
-        pr_s = pack_reads(shorts, names=snames, pad_len=pad)
+        pr_s = pack_reads(shorts, names=snames, pad_len=pad,
+                          quals=squals if keep_quality else None)
     if longs:
         pad = long_pad or _round16(max(len(s) for s in longs))
         pr_l = pack_reads(longs, names=lnames,
@@ -123,6 +129,8 @@ def _inputs_digest(pr_short: Optional[PackedReads],
             continue
         h.update(np.ascontiguousarray(pr.packed).tobytes())
         h.update(np.ascontiguousarray(pr.length).tobytes())
+        if pr.qual is not None:  # quality plane feeds weighted consensus
+            h.update(np.ascontiguousarray(pr.qual).tobytes())
     return h.hexdigest()[:16]
 
 

@@ -86,17 +86,60 @@ def _minimizer_batch_fn(k: int, w: int):
     return f
 
 
+def _compact_batch_fn(k: int, w: int):
+    """Minimizer selection + DEVICE compaction of the taken entries.
+
+    The dense (B, n_win) minimizer planes must never cross to host: for
+    long backbones (pad ~40 kb) a 4096-read batch is ~GBs of readback over
+    the tunneled backend (~3 MB/s) while the real entries are ~2% of the
+    slots.  A cumsum-scatter packs the taken entries to the front of
+    cap = slots/2 + 64 output rows; the host then fetches count (tiny) and
+    one power-of-two-rounded slice per array (bounded compiled shapes).
+    """
+
+    @jax.jit
+    def f(packed, bad, length):
+        kb = K.extract_kmers(packed, bad, length, k)
+        mb = M.select_minimizers(kb, w, length, k)
+        B, n_win = mb.take.shape
+        cap = B * n_win // 2 + 64
+        flat = mb.take.ravel()
+        dest = jnp.where(flat, jnp.cumsum(flat.astype(jnp.int32)) - 1, cap)
+
+        def put(x):
+            return jnp.zeros((cap + 1,), x.dtype).at[dest].set(
+                x.ravel(), mode="drop")[:cap]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, n_win), 0)
+        count = jnp.sum(flat.astype(jnp.int32))
+        return (put(mb.hi), put(mb.lo), put(mb.pos),
+                put(mb.strand.astype(jnp.int32)), put(row), count)
+
+    return f
+
+
+# device minimizer-plane slots (reads x windows) per extraction batch: the
+# batch row count scales DOWN for long pads so HBM and per-batch latency
+# stay bounded (a 45 kb-pad read set at batch 4096 is 184M slots otherwise)
+EXTRACT_SLOT_BUDGET = 1 << 24
+
+
 def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
                          idx: Optional[np.ndarray] = None) -> SeedEntries:
-    """Device minimizer selection, batch-wise; compact entries on host."""
+    """Device minimizer selection + device compaction, batch-wise."""
     if idx is None:
         idx = np.arange(pr.n_reads)
     # small read sets (e.g. contig backbones) must not pad up to a huge
-    # static batch; power-of-two rounding bounds the compiled shapes
-    B = min(cfg.batch_reads, max(8, 1 << (max(1, len(idx)) - 1).bit_length()))
-    f = _minimizer_batch_fn(cfg.k, cfg.w)
+    # static batch; power-of-two rounding bounds the compiled shapes; the
+    # slot budget bounds rows x windows for long pads
+    B = min(cfg.batch_reads,
+            max(8, 1 << (max(1, len(idx)) - 1).bit_length()),
+            max(8, 1 << max(0, (EXTRACT_SLOT_BUDGET // max(pr.pad_len, 1))
+                            .bit_length() - 1)))
+    f = _compact_batch_fn(cfg.k, cfg.w)
     log.info("seeding: extracting minimizers for %d reads (batch %d)",
              len(idx), B)
+
     def batches():
         for s in range(0, len(idx), B):
             sel = idx[s : s + B]
@@ -113,15 +156,24 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
 
     his, los, reads, poss, strands = [], [], [], [], []
     # device minimizer selection of later batches overlaps this batch's
-    # host compaction (PP analog, parallel/stream.py)
-    for mb, sel, nb in pipelined_map(lambda *x: x, batches()):
-        take = np.asarray(mb.take)[:nb]
-        rows, cols = np.nonzero(take)
-        his.append(np.asarray(mb.hi)[:nb][rows, cols])
-        los.append(np.asarray(mb.lo)[:nb][rows, cols])
-        poss.append(np.asarray(mb.pos)[:nb][rows, cols])
-        strands.append(np.asarray(mb.strand)[:nb][rows, cols].astype(np.int32))
-        reads.append(sel[rows].astype(np.int32))
+    # sliced readback (PP analog, parallel/stream.py)
+    for out, sel, nb in pipelined_map(lambda *x: x, batches()):
+        hi_c, lo_c, pos_c, str_c, row_c, count = out
+        K_n = int(count)
+        cap = hi_c.shape[0]
+        if K_n == 0:
+            continue
+        # fetch ONLY the compacted prefix, pow2-rounded to bound shapes
+        Kp = min(cap, max(1 << 14, 1 << (K_n - 1).bit_length()))
+        fetch = lambda x: np.asarray(x[:Kp])[:K_n]
+        rows = fetch(row_c)
+        keep = rows < nb                  # padded rows produce no entries,
+        # but guard anyway (their length is 0 so take is already False)
+        his.append(fetch(hi_c)[keep])
+        los.append(fetch(lo_c)[keep])
+        poss.append(fetch(pos_c)[keep])
+        strands.append(fetch(str_c)[keep].astype(np.int32))
+        reads.append(sel[rows[keep]].astype(np.int32))
     cat = lambda xs, dt: (np.concatenate(xs).astype(dt) if xs else np.zeros(0, dt))
     return SeedEntries(
         hi=cat(his, np.uint32), lo=cat(los, np.uint32),

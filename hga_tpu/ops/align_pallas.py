@@ -66,19 +66,27 @@ BLK = 128  # anti-diagonals per block: aligned window loads, static inner slices
 def _sw_kernel(q_ref, t_ref, dlo_ref, dhi_ref,
                score_ref, qend_ref, tend_ref, win_ref,
                *, Lq: int, Lt: int,
-               match: int, mismatch: int, gap: int, blk: int = BLK):
+               match: int, mismatch: int, gap: int, blk: int = BLK,
+               narrow: bool = False):
     """Blocked sweep: the d-loop runs in BLK-step blocks.  Per block, one
     128-aligned dynamic slice of the (reversed, padded) target lands in the
     `win_ref` scratch; the BLK inner steps then use only STATIC slices.
     This keeps Mosaic's constraints (dynamic lane slices must be 128-aligned)
-    and bounds compile time (only BLK steps are traced inline)."""
+    and bounds compile time (only BLK steps are traced inline).
+
+    narrow=True runs the whole recurrence in int16 (the wrapper feeds int16
+    inputs): scores are bounded by match * Lq <= match * MAX_QUERY_LEN and
+    anti-diagonal ids by Lq + Lt + 1, both far inside int16, and 16-bit
+    elements pack 2x per vector register — the ROADMAP's "int16 (2x)" item.
+    Outputs widen to int32 at the end."""
     P = q_ref.shape[0]
+    dt = jnp.int16 if narrow else I32
     q = q_ref[:, :]                     # (P, Lq) — static, resident
     dlo = dlo_ref[:, :]                 # (P, Lq) first in-band anti-diagonal
     dhi = dhi_ref[:, :]                 # (P, Lq) last in-band (-1 = never)
     # concrete-layout zero initializer (a constant splat init makes the
     # carry relayout {0,0}->{*,*} abort the Mosaic compiler)
-    zero = jnp.minimum(q * 0, 0)
+    zero = jnp.minimum(q * 0, 0).astype(dt)
     zcol = zero[:, :1]
 
     # t_ext layout (built by the wrapper): step d reads
@@ -97,14 +105,14 @@ def _sw_kernel(q_ref, t_ref, dlo_ref, dhi_ref,
         for r in range(blk):
             d = 2 + k * blk + r
             ts = win_ref[:, C - r: C - r + Lq]
-            sub = jnp.where(q == ts, jnp.int32(match), jnp.int32(mismatch))
+            sub = jnp.where(q == ts, dt(match), dt(mismatch))
             s1 = jnp.concatenate([zcol, ad1[:, :Lq - 1]], axis=1)
-            td = jnp.maximum(s2 + sub, 0)
-            mg = jnp.maximum(ad1, s1) + jnp.int32(gap)
+            td = jnp.maximum(s2 + sub, dt(0))
+            mg = jnp.maximum(ad1, s1) + dt(gap)
             v = jnp.maximum(td, mg)
-            v = jnp.where((d >= dlo) & (d <= dhi), v, 0)
+            v = jnp.where((dt(d) >= dlo) & (dt(d) <= dhi), v, dt(0))
             gt = v > best_v                # strict: smallest d per slot wins
-            best_d = jnp.where(gt, jnp.int32(d), best_d)
+            best_d = jnp.where(gt, dt(d), best_d)
             best_v = jnp.maximum(best_v, v)
             s2 = s1
             ad1 = v
@@ -114,6 +122,7 @@ def _sw_kernel(q_ref, t_ref, dlo_ref, dhi_ref,
     ad1, s2, best_v, best_d = jax.lax.fori_loop(0, n_blocks, block, carry)
 
     # final reduction with oracle tie-break: max v, then min d, then min i
+    best_v, best_d = best_v.astype(I32), best_d.astype(I32)
     p_idx = jax.lax.broadcasted_iota(I32, (P, Lq), dimension=1)
     D = Lq + Lt
     vmax = jnp.max(best_v, axis=1, keepdims=True)
@@ -133,7 +142,7 @@ def _sw_kernel(q_ref, t_ref, dlo_ref, dhi_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("band", "match", "mismatch", "gap", "pair_tile",
-                     "interpret", "blk"))
+                     "interpret", "blk", "narrow"))
 def banded_sw_batch_pallas(
     q: jax.Array,     # int32 (N, Lq)
     t: jax.Array,     # int32 (N, Lt)
@@ -147,6 +156,8 @@ def banded_sw_batch_pallas(
     interpret: bool = False,
     blk: int = BLK,  # MUST stay 128 on hardware (lane-aligned window loads);
                      # interpret-mode tests may shrink it for speed
+    narrow: bool = False,  # int16 state: 2x register packing, bit-exact for
+                           # judged shapes (score < 2^15, d-ids < 2^15)
 ) -> SWResult:
     """Pallas wavefront SW; N must be a multiple of pair_tile (callers pad).
 
@@ -161,6 +172,9 @@ def banded_sw_batch_pallas(
         raise ValueError(
             f"Lq={Lq} over full-width budget {MAX_QUERY_LEN}; "
             "use banded_sw_batch")
+    if narrow and (match * Lq >= 32767 or 2 * (Lq + Lt) + blk >= 32767):
+        raise ValueError("narrow=True needs scores and anti-diagonal ids "
+                         "inside int16")
 
     # static window geometry (must mirror _sw_kernel)
     S0 = Lq + Lt - 1 + blk
@@ -187,9 +201,10 @@ def banded_sw_batch_pallas(
     dhi = jnp.where(i <= ql, i + jnp.minimum(tl, i + band), -1)
 
     grid = (N // pair_tile,)
+    dt = jnp.int16 if narrow else I32
     kernel = functools.partial(
         _sw_kernel, Lq=Lq, Lt=Lt,
-        match=match, mismatch=mismatch, gap=gap, blk=blk)
+        match=match, mismatch=mismatch, gap=gap, blk=blk, narrow=narrow)
     out_shape = [jax.ShapeDtypeStruct((N, 1), jnp.int32)] * 3
     row_spec = lambda cols: pl.BlockSpec(
         (pair_tile, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -201,10 +216,10 @@ def banded_sw_batch_pallas(
                   row_spec(Lq)],
         out_specs=[row_spec(1)] * 3,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((pair_tile, WIN), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((pair_tile, WIN), dt)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=cells * 12, bytes_accessed=N * (3 * Lq + Lt) * 4,
             transcendentals=0),
-    )(q.astype(I32), t_ext, dlo, dhi)
+    )(q.astype(dt), t_ext.astype(dt), dlo.astype(dt), dhi.astype(dt))
     return SWResult(score=score[:, 0], qend=qend[:, 0], tend=tend[:, 0])

@@ -20,7 +20,7 @@ Symbols: 0..3 = A,C,G,T (substitution vote), 4 = deletion, 5 = unused slot
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -238,6 +238,8 @@ def accumulate_backbone_votes_myers(
     bb: jax.Array,         # int32 (P,) backbone id per pair
     off: jax.Array,        # int32 (P,) window col -> forward backbone col
     lb: jax.Array,         # int32 (P,) backbone true length per pair
+    qw: Optional[jax.Array] = None,  # int32 (P, Lq) per-base vote weights
+    *,
     size_v: int,
     lpad: int,
     ins_slots: int = 3,
@@ -246,6 +248,11 @@ def accumulate_backbone_votes_myers(
     for accumulate_backbone_votes_merged (same vote semantics, same merged
     flat buffer), fed by the 675-GCUPS bit-parallel DP instead of the scored
     dirs DP.
+
+    qw: optional per-base vote weights in the ORIENTED query frame
+    (quality-weighted consensus, cfg.use_quality): a base/insertion vote
+    adds qw[pid, i-1]; a deletion vote weighs the flanking read base the
+    same way.  None keeps the unweighted +1 scatter (the default).
 
     Moves are re-derived from the stored Pv/Mv vertical-delta planes: at
     cell (i, j) holding distance D, the left/diagonal neighbors' distances
@@ -302,17 +309,26 @@ def accumulate_backbone_votes_myers(
         idx_i = jnp.where(up & in_rng & (run < ins_slots) & (j >= 1),
                           idx_i, size_all)
         run = jnp.where(up, run + 1, 0)
+        # vote weight: the read base this step consumed (flanking base for
+        # a deletion, which consumes none) — one gather shared by both the
+        # column and the insertion vote of this step
+        w = (jnp.ones((P,), I32) if qw is None
+             else qw[pid, jnp.clip(i - 1, 0, Lq - 1)])
         D = D - jnp.where(diag, sub, (up | left).astype(I32))
         i = i - (diag | up).astype(I32)
         j = j - (diag | left).astype(I32)
         active = active & (diag | up | left) & (i >= 1)
-        return (i, j, D, run, active), (idx_v, idx_i)
+        return (i, j, D, run, active), (idx_v, idx_i, w)
 
     init = (qend.astype(I32), tend.astype(I32), dist.astype(I32),
             jnp.zeros((P,), I32), qend > 0)
-    _, (idx_v, idx_i) = jax.lax.scan(step, init, None, length=S)
-    return merged.at[jnp.concatenate(
-        [idx_v.reshape(-1), idx_i.reshape(-1)])].add(1, mode="drop")
+    _, (idx_v, idx_i, w) = jax.lax.scan(step, init, None, length=S)
+    idx_cat = jnp.concatenate([idx_v.reshape(-1), idx_i.reshape(-1)])
+    if qw is None:
+        return merged.at[idx_cat].add(1, mode="drop")
+    w_flat = w.reshape(-1)
+    return merged.at[idx_cat].add(
+        jnp.concatenate([w_flat, w_flat]), mode="drop")
 
 
 def accumulate_backbone_votes(

@@ -59,6 +59,7 @@ def myers_ring(mesh: Mesh, q: jax.Array, t: jax.Array, qlen: jax.Array,
     against per-step batch size (see module docstring).
     """
     ndev = mesh.devices.size
+    q, t = q.astype(I32), t.astype(I32)     # callers may ship int8 codes
     N, Lq = q.shape
     Nt, Lt = t.shape
     shared_t = Nt == 1

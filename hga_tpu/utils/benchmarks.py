@@ -97,16 +97,20 @@ def bench_sw(n_pairs: int = 8192, Lq: int = 128, Lt: int = 256,
     cells = sw_cells([Lq], [Lt], band) * n_pairs
 
     best: Optional[Dict] = None
-    try:
-        from hga_tpu.ops.align_pallas import banded_sw_batch_pallas
+    for narrow in (True, False):  # int16 2x-packed state first
+        try:
+            from hga_tpu.ops.align_pallas import banded_sw_batch_pallas
 
-        dt = _timeit_amortized(
-            functools.partial(banded_sw_batch_pallas, band=band,
-                              pair_tile=128),
-            q, t, ql, tl)
-        best = {"impl": "pallas", "seconds": dt, "gcups": cells / dt / 1e9}
-    except Exception:
-        pass
+            dt = _timeit_amortized(
+                functools.partial(banded_sw_batch_pallas, band=band,
+                                  pair_tile=128, narrow=narrow),
+                q, t, ql, tl)
+            cand = {"impl": "pallas_i16" if narrow else "pallas",
+                    "seconds": dt, "gcups": cells / dt / 1e9}
+            if best is None or cand["gcups"] > best["gcups"]:
+                best = cand
+        except Exception:
+            pass
     if best is None:  # XLA fallback (also the CPU path); slower to compile
         dt = _timeit_amortized(
             functools.partial(banded_sw_batch, band=band), q, t, ql, tl)
@@ -339,6 +343,88 @@ def bench_scaling(n_reads: int = 16384, read_len: int = 112,
     return out
 
 
+def comm_volume_model(
+    n_short: int = 1_380_000,
+    n_long: int = 10_600,
+    read_len: int = 100,
+    long_len_mean: int = 8000,
+    genome_len: int = 4_600_000,
+    k: int = 21,
+    n_hosts: int = 2,
+    chips_per_host: int = 4,
+    n_overlaps: Optional[int] = None,
+    dcn_gbps: float = 25.0,
+) -> Dict:
+    """Analytic bytes-over-DCN per pipeline stage for an N-host run.
+
+    The judged >=80%-at-2-hosts reads/s efficiency (BASELINE.md) cannot be
+    MEASURED in this environment (one real chip; the virtual mesh shares
+    host cores — see bench_scaling), so this model makes the claim
+    analyzable instead: it counts the bytes each host must move over DCN
+    per stage under the production sharding (owner-shard all_to_all
+    counting, host-partitioned candidate/DP blocks with rank-ordered
+    allgather re-replication — parallel/collectives.py, parallel/hostpart.py),
+    and bounds the comm time at a given DCN bandwidth.  Compare against the
+    measured single-host stage wall-clocks (metrics_*.json) to bound the
+    scaling efficiency: eff >= t_comp / (t_comp/n + t_dcn) per stage.
+
+    Defaults are the judged E. coli-scale hybrid set (4.6 Mb, cov 30/20).
+    """
+    assert n_hosts >= 1 and chips_per_host >= 1
+    cross = (n_hosts - 1) / n_hosts      # fraction of routed data that
+    # leaves the host under a host-major mesh layout (uniform hash)
+    stages: Dict[str, Dict] = {}
+
+    # counting: every k-mer is routed once to its owner shard as an
+    # (hi, lo) uint32 pair (collectives.count_kmers_bucketed); per host the
+    # outbound DCN bytes are its local share times the cross-host fraction
+    n_kmers = n_short * max(read_len - k + 1, 0)
+    local_kmers = n_kmers / n_hosts
+    stages["count_route"] = {
+        "dcn_bytes_per_host": int(local_kmers * 8 * cross),
+        "what": "owner-shard all_to_all of (hi,lo) k-mer pairs",
+    }
+
+    # correction: each host corrects 1/n of the backbones and re-replicates
+    # the corrected sequences (hostpart.allgather_indexed_strings) — every
+    # host RECEIVES the other hosts' corrected bases (1 byte/base)
+    corr_bases = n_long * long_len_mean
+    stages["corrected_gather"] = {
+        "dcn_bytes_per_host": int(corr_bases * cross),
+        "what": "rank-ordered allgather of corrected long reads",
+    }
+
+    # overlaps: survivors re-replicate as 11 int32 fields per record
+    # (overlap.OverlapRecords via hostpart.allgather_concat); overlap count
+    # defaults to ~12 dovetails per corrected read (measured 1 Mb run shape)
+    if n_overlaps is None:
+        n_overlaps = 12 * n_long
+    stages["overlap_gather"] = {
+        "dcn_bytes_per_host": int(n_overlaps * 11 * 4 * cross),
+        "what": "rank-ordered allgather of PAF-shaped overlap records",
+    }
+
+    # polish: contig sequences out (~genome size) re-replicate once
+    stages["polish_gather"] = {
+        "dcn_bytes_per_host": int(genome_len * cross),
+        "what": "rank-ordered allgather of polished contigs",
+    }
+
+    total = sum(s["dcn_bytes_per_host"] for s in stages.values())
+    t_dcn = total / (dcn_gbps * 1e9 / 8)
+    return {
+        "n_hosts": n_hosts,
+        "chips_per_host": chips_per_host,
+        "stages": stages,
+        "total_dcn_bytes_per_host": total,
+        "dcn_gbps": dcn_gbps,
+        "dcn_seconds": round(t_dcn, 3),
+        "note": "compare dcn_seconds against measured single-host stage "
+                "seconds/n_hosts (metrics_*.json): efficiency bound "
+                "t_comp / (t_comp/n + dcn_seconds)",
+    }
+
+
 def run_benchmark(what: str = "sw", n_pairs: int = 4096) -> Dict:
     if what == "sw":
         return bench_sw(n_pairs=n_pairs)
@@ -353,4 +439,6 @@ def run_benchmark(what: str = "sw", n_pairs: int = 4096) -> Dict:
         return bench_pipeline()
     if what == "scaling":
         return bench_scaling()
+    if what == "comm":
+        return comm_volume_model()
     raise ValueError(what)

@@ -40,8 +40,18 @@ def simulate_short_reads(
     read_len: int = 100,
     error_rate: float = 0.01,
     seed: int = 1,
-) -> Tuple[List[str], List[str]]:
-    """Illumina-like reads. Returns (seqs, names); name encodes truth locus."""
+    return_quals: bool = False,
+    q_good: int = 38,
+    q_err: int = 10,
+):
+    """Illumina-like reads. Returns (seqs, names); name encodes truth locus.
+
+    return_quals=True additionally returns phred+33 quality strings — q_good
+    everywhere, q_err at the injected error positions (the usual Illumina
+    pattern: miscalls carry low quality), reversed with the read when the
+    simulated strand flips.  Feeds the cfg.use_quality weighted-consensus
+    path end to end.
+    """
     rng = np.random.default_rng(seed)
     G = len(genome)
     n_reads = int(coverage * G / read_len)
@@ -50,12 +60,14 @@ def simulate_short_reads(
     gcodes, _ = encode_bases(genome)
     seqs: List[str] = []
     names: List[str] = []
+    quals: List[str] = []
     starts = rng.integers(0, max(1, G - read_len + 1), size=n_reads)
     strands = rng.integers(0, 2, size=n_reads)
     for i in range(n_reads):
         s = int(starts[i])
         codes = gcodes[s : s + read_len].copy()
         nerr = rng.binomial(read_len, error_rate)
+        pos = None
         if nerr:
             pos = rng.choice(read_len, size=nerr, replace=False)
             _mutate_sub(codes, pos, rng)
@@ -64,6 +76,15 @@ def simulate_short_reads(
             seq = revcomp_str(seq)
         seqs.append(seq)
         names.append(f"sr_{i}_{s}_{int(strands[i])}")
+        if return_quals:
+            q = np.full(read_len, q_good, np.uint8)
+            if pos is not None:
+                q[pos] = q_err
+            if strands[i]:
+                q = q[::-1]
+            quals.append((q + 33).tobytes().decode("ascii"))
+    if return_quals:
+        return seqs, names, quals
     return seqs, names
 
 

@@ -37,3 +37,19 @@ def test_pallas_rejects_bad_tile():
     l = jnp.full((6,), 32, jnp.int32)
     with pytest.raises(ValueError, match="pair_tile"):
         banded_sw_batch_pallas(q, t, l, l, band=8, pair_tile=8)
+
+
+@pytest.mark.parametrize("band,Lq,Lt", [(9, 24, 32), (16, 40, 40)])
+def test_pallas_narrow_int16_matches_xla(rng, band, Lq, Lt):
+    """int16-state variant (2x register packing) stays bit-exact."""
+    N = 8
+    q = jnp.asarray(rng.integers(0, 4, (N, Lq)).astype(np.int32))
+    t = jnp.asarray(rng.integers(0, 4, (N, Lt)).astype(np.int32))
+    ql = jnp.asarray(rng.integers(1, Lq + 1, N).astype(np.int32))
+    tl = jnp.asarray(rng.integers(1, Lt + 1, N).astype(np.int32))
+    r1 = banded_sw_batch(q, t, ql, tl, band=band)
+    r2 = banded_sw_batch_pallas(q, t, ql, tl, band=band, pair_tile=8,
+                                interpret=True, blk=8, narrow=True)
+    np.testing.assert_array_equal(np.asarray(r1.score), np.asarray(r2.score))
+    np.testing.assert_array_equal(np.asarray(r1.qend), np.asarray(r2.qend))
+    np.testing.assert_array_equal(np.asarray(r1.tend), np.asarray(r2.tend))

@@ -116,3 +116,31 @@ def test_load_reads_roundtrip(tmp_path, hybrid_ds):
     assert pr_s.n_reads == len(ds.short_seqs)
     assert pr_l.n_reads == len(ds.long_seqs)
     assert (pr_l.category == 1).all()
+
+
+def test_cli_simulate_fastq_quality_pipeline(tmp_path):
+    """simulate --fastq -> pipeline --use-quality end to end: the quality
+    plane loads, weighted consensus runs, contigs still reconstruct."""
+    simdir = str(tmp_path / "sim")
+    rc = cli_main(["simulate", "-o", simdir, "--genome-len", "6000",
+                   "--short-cov", "25", "--long-cov", "6",
+                   "--short-err", "0.005", "--long-err", "0.05",
+                   "--seed", "50", "--fastq"])
+    assert rc == 0 and os.path.exists(os.path.join(simdir, "short.fastq"))
+    pr_s, _ = load_reads([os.path.join(simdir, "short.fastq")],
+                         keep_quality=True)
+    assert pr_s.qual is not None and int(pr_s.qual.max()) >= 30
+    out = str(tmp_path / "runq")
+    rc = cli_main(["pipeline", "-o", out, "-k", "15", "-w", "5",
+                   "--band", "24", "--min-shared", "2",
+                   "--min-overlap-len", "30", "--use-quality",
+                   "--short", os.path.join(simdir, "short.fastq"),
+                   "--long", os.path.join(simdir, "long.fasta")])
+    assert rc == 0
+    genome = "".join(r.seq for r in iter_records(
+        os.path.join(simdir, "genome.fasta")))
+    contigs = [(r.name, r.seq) for r in iter_records(
+        os.path.join(out, "polished.fasta"))]
+    ev = evaluate_contigs(contigs, genome, k=21)
+    assert ev["genome_fraction"] > 0.90, ev
+    assert ev["identity"] > 0.90, ev
