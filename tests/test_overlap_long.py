@@ -82,3 +82,46 @@ def test_long_overlap_coords_match_truth(long_reads):
         if true_olap > 0 and span >= 0.8 * true_olap * (1 - 0.1):
             ok += 1
     assert ok / max(ov.n, 1) >= 0.9
+
+
+def test_sparse_spurious_chain_rejected():
+    """Two UNRELATED reads sharing only two short planted blocks on a
+    consistent diagonal must NOT overlap: the anchor gap between the blocks
+    is unrelated sequence, and the segment DP must align and charge ALL of
+    it (the round-3 engine clamped oversized inner segments to 414 bases,
+    under-charging the gap and fabricating 15k overlaps at judged scale —
+    the 32-contig fragmentation root cause)."""
+    rng = np.random.default_rng(77)
+    A = rng.integers(0, 4, 5000)
+    B = rng.integers(0, 4, 5000)
+    # plant two 40-base shared blocks ~3 kb apart at a consistent diagonal
+    B[600:640] = A[500:540]
+    B[3600:3640] = A[3500:3540]
+    from hga_tpu.io.encode import decode_bases
+
+    seqs = [decode_bases(A.astype(np.uint8)), decode_bases(B.astype(np.uint8))]
+    pr = pack_reads(seqs, names=["a", "b"], pad_len=5008)
+    cfg = AssemblerConfig(k=15, w=4, min_shared_minimizers=2,
+                          min_overlap_len=500, min_identity=0.75)
+    ov = compute_overlaps_long(pr, cfg)
+    assert ov.n == 0, (ov.n, ov.identity(), ov.a_start, ov.a_end)
+
+
+def test_true_overlap_with_anchor_desert_survives():
+    """A genuine dovetail whose anchors exist only near the shared-block
+    ends (minimizers masked in the middle by max_seed_freq) must still be
+    found at full span: the split sub-segments align the desert exactly."""
+    rng = np.random.default_rng(78)
+    core = rng.integers(0, 4, 6000)
+    A = np.concatenate([rng.integers(0, 4, 1000), core])
+    B = np.concatenate([core, rng.integers(0, 4, 1000)])
+    from hga_tpu.io.encode import decode_bases
+
+    seqs = [decode_bases(A.astype(np.uint8)), decode_bases(B.astype(np.uint8))]
+    pr = pack_reads(seqs, names=["a", "b"], pad_len=7008)
+    cfg = AssemblerConfig(k=15, w=4, min_shared_minimizers=2,
+                          min_overlap_len=2000, min_identity=0.90)
+    ov = compute_overlaps_long(pr, cfg)
+    assert ov.n == 1
+    assert int(ov.a_start[0]) <= 1050 and int(ov.a_end[0]) >= 6950
+    assert float(ov.identity()[0]) >= 0.99
