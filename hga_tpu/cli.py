@@ -256,18 +256,15 @@ def cmd_simulate(args) -> int:
     ds = sim.make_dataset(genome_len=args.genome_len,
                           short_cov=args.short_cov, long_cov=args.long_cov,
                           seed=args.seed, short_err=args.short_err,
-                          long_err=args.long_err)
+                          long_err=args.long_err, return_quals=args.fastq)
     os.makedirs(args.outdir, exist_ok=True)
     write_fasta(os.path.join(args.outdir, "genome.fasta"),
                 [("genome", ds.genome)])
     if args.fastq:
-        # re-simulate shorts with per-base qualities (same seed -> same
-        # reads) so `hga pipeline --use-quality` runs end to end on sim data
-        ss, sn, sq = sim.simulate_short_reads(
-            ds.genome, coverage=args.short_cov, error_rate=args.short_err,
-            seed=args.seed + 1, return_quals=True)
+        # qualities come from the SAME simulate call as the sequences, so
+        # `hga pipeline --use-quality` truth coordinates can never drift
         write_fastq(os.path.join(args.outdir, "short.fastq"),
-                    list(zip(sn, ss, sq)))
+                    list(zip(ds.short_names, ds.short_seqs, ds.short_quals)))
     else:
         write_fasta(os.path.join(args.outdir, "short.fasta"),
                     list(zip(ds.short_names, ds.short_seqs)))

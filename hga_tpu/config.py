@@ -80,11 +80,14 @@ class AssemblerConfig:
     # (SURVEY.md C5/C12): error k-mers stop generating candidate pairs.
     use_solid_seeds: bool = True
     # Cap correction candidates at corr_depth_cap reads per (backbone,
-    # ~read-length position bucket) — i.e. ~pileup depth per column
-    # (0 = uncapped).  A pileup only needs bounded depth; at judged scale
-    # (cov 30 x 20) the uncapped alignment count is the wall-clock driver.
-    # Highest shared-seed-count candidates win WITHIN each bucket (a global
-    # top-N leaves spatial pileup holes — see overlap_long.py).
+    # ~read-length position bucket) — i.e. ~pileup depth per column.
+    # 0 = AUTO: the pipeline driver derives ~0.7x the base coverage
+    # estimated from the spectrum's coverage peak (models/pipeline.py);
+    # direct consensus_backbones calls treat 0 as uncapped.  A pileup only
+    # needs bounded depth; at judged scale (cov 30 x 20) the uncapped
+    # alignment count is the wall-clock driver.  Highest shared-seed-count
+    # candidates win WITHIN each bucket (a global top-N leaves spatial
+    # pileup holes — see overlap_long.py).
     corr_depth_cap: int = 0
     # alignments per correction device batch (larger amortizes the lockstep
     # traceback scan; 4096 measured ~30% faster per-alignment than 1024)
@@ -102,8 +105,10 @@ class AssemblerConfig:
     # the short reads carry a quality plane (PackedReads.qual), each vote
     # weighs its base's phred tier — 1 (q < 13), 2 (13 <= q < 28), 3
     # (q >= 28); deletion/insertion votes weigh the flanking read base.
-    # min_pileup_depth is then in weighted units.  Requires
-    # corr_engine="myers" (the production engine).
+    # Votes are then in weighted units and the consensus step scales the
+    # min_pileup_depth floor x3 internally, so the configured value keeps
+    # meaning "~this many confident reads" either way.  Requires
+    # corr_engine="myers" (the production engine; validated at construction).
     use_quality: bool = False
 
     # --- orchestration (L6) ---
@@ -115,6 +120,21 @@ class AssemblerConfig:
     # --- misc ---
     seed: int = 0
     dtype_score: str = "int32"
+
+    def __post_init__(self):
+        # fail fast at config construction, not deep inside the consensus
+        # step after candidate generation already ran (round-3 advisor
+        # item 3) — same message as the step-level guard
+        if self.use_quality and self.corr_engine != "myers":
+            raise ValueError(
+                "use_quality requires corr_engine='myers' (the production "
+                "engine); the scored-dirs engine is unweighted")
+        if self.corr_engine not in ("myers", "sw"):
+            raise ValueError(f"corr_engine must be 'myers' or 'sw', "
+                             f"got {self.corr_engine!r}")
+        if self.overlap_refine not in ("myers", "sw"):
+            raise ValueError(f"overlap_refine must be 'myers' or 'sw', "
+                             f"got {self.overlap_refine!r}")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), default=str, sort_keys=True)

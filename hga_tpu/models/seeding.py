@@ -86,15 +86,24 @@ def _minimizer_batch_fn(k: int, w: int):
     return f
 
 
-def _compact_batch_fn(k: int, w: int):
+def _compact_batch_fn(k: int, w: int, full: bool = False):
     """Minimizer selection + DEVICE compaction of the taken entries.
 
     The dense (B, n_win) minimizer planes must never cross to host: for
     long backbones (pad ~40 kb) a 4096-read batch is ~GBs of readback over
     the tunneled backend (~3 MB/s) while the real entries are ~2% of the
     slots.  A cumsum-scatter packs the taken entries to the front of
-    cap = slots/2 + 64 output rows; the host then fetches count (tiny) and
-    one power-of-two-rounded slice per array (bounded compiled shapes).
+    cap output rows; the host then fetches count (tiny) and one
+    power-of-two-rounded slice per array (bounded compiled shapes).
+
+    cap is sized from the minimizer density: the expected take rate is
+    2/(w+1), so 4x slots/(w+1) leaves a 2x margin (and w <= 3 gets the full
+    slot count — lossless by construction).  The scatter drops entries past
+    cap; callers see the TRUE count and re-run the batch with full=True
+    (cap = every slot, the overflow-proof shape) when count > cap, so no
+    configuration can lose seeds silently (round-3 advisor item 1: the
+    previous fixed slots/2 cap lost seeds for w <= 3, and adversarial
+    homopolymer runs can reach take density 1 at ANY w).
     """
 
     @jax.jit
@@ -102,7 +111,8 @@ def _compact_batch_fn(k: int, w: int):
         kb = K.extract_kmers(packed, bad, length, k)
         mb = M.select_minimizers(kb, w, length, k)
         B, n_win = mb.take.shape
-        cap = B * n_win // 2 + 64
+        slots = B * n_win
+        cap = slots if full else min(slots, 4 * slots // (w + 1) + 64)
         flat = mb.take.ravel()
         dest = jnp.where(flat, jnp.cumsum(flat.astype(jnp.int32)) - 1, cap)
 
@@ -157,10 +167,27 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
     his, los, reads, poss, strands = [], [], [], [], []
     # device minimizer selection of later batches overlaps this batch's
     # sliced readback (PP analog, parallel/stream.py)
+    f_full = None
     for out, sel, nb in pipelined_map(lambda *x: x, batches()):
         hi_c, lo_c, pos_c, str_c, row_c, count = out
         K_n = int(count)
         cap = hi_c.shape[0]
+        if K_n > cap:
+            # density exceeded the sized cap (tiny w or adversarial input):
+            # re-run this batch at the lossless full-slot cap
+            log.warning("seeding: batch take count %d > cap %d — "
+                        "re-running at full capacity", K_n, cap)
+            if f_full is None:
+                f_full = _compact_batch_fn(cfg.k, cfg.w, full=True)
+            packed, bad, length = pr.packed[sel], pr.bad[sel], pr.length[sel]
+            if packed.shape[0] < B:
+                padn = B - packed.shape[0]
+                packed = np.pad(packed, ((0, padn), (0, 0)))
+                bad = np.pad(bad, ((0, padn), (0, 0)))
+                length = np.pad(length, (0, padn))
+            hi_c, lo_c, pos_c, str_c, row_c, count = f_full(
+                jnp.asarray(packed), jnp.asarray(bad), jnp.asarray(length))
+            cap = hi_c.shape[0]
         if K_n == 0:
             continue
         # fetch ONLY the compacted prefix, pow2-rounded to bound shapes

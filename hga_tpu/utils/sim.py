@@ -30,6 +30,75 @@ def random_genome(length: int, seed: int = 0, gc: float = 0.5) -> str:
     return decode_bases(codes.astype(np.uint8))
 
 
+def repeat_genome(
+    length: int,
+    seed: int = 0,
+    gc: float = 0.5,
+    rrna_copies: int = 7,
+    rrna_len: int = 5000,
+    rrna_ident: float = 0.99,
+    is_families: int = 3,
+    is_copies: int = 5,
+    is_len: int = 1200,
+    is_ident: float = 0.97,
+    tandem_loci: int = 2,
+    tandem_unit: int = 350,
+    tandem_copies: int = 6,
+) -> str:
+    """Random genome with bacterial-style repeat structure (SURVEY.md
+    Appendix A test-data row: *E. coli* K-12 carries 7 near-identical ~5 kb
+    rRNA operons, tens of ~1.2 kb IS elements in families at 95-100%
+    identity, and tandem repeats — the structures that make assembly hard).
+
+    Repeats OVERWRITE segments of an i.i.d. random backbone, so the total
+    length is exactly `length`.  Each family has one master sequence; each
+    copy is the master mutated to the family identity, placed at a uniform
+    position on a random strand, copies kept non-overlapping (rejection
+    sampled).  Deterministic in `seed`.
+    """
+    rng = np.random.default_rng(seed)
+    p_at = (1.0 - gc) / 2
+    p_gc = gc / 2
+    g = rng.choice(4, size=length, p=[p_at, p_gc, p_gc, p_at]).astype(np.uint8)
+
+    placed: List[Tuple[int, int]] = []
+
+    def _place(L: int) -> int:
+        for _ in range(200):
+            s = int(rng.integers(0, max(1, length - L)))
+            if all(s + L <= a or s >= b for a, b in placed):
+                placed.append((s, s + L))
+                return s
+        return -1                      # genome too crowded: skip this copy
+
+    def _family(n_copies: int, L: int, ident: float) -> None:
+        master = rng.integers(0, 4, size=L).astype(np.uint8)
+        for _ in range(n_copies):
+            s = _place(L)
+            if s < 0:
+                continue
+            copy = master.copy()
+            nmut = rng.binomial(L, max(0.0, 1.0 - ident))
+            if nmut:
+                pos = rng.choice(L, size=nmut, replace=False)
+                _mutate_sub(copy, pos, rng)
+            if rng.integers(0, 2):
+                copy = (3 - copy)[::-1]            # reverse-complement copy
+            g[s : s + L] = copy
+
+    _family(rrna_copies, min(rrna_len, length // 4), rrna_ident)
+    for _ in range(is_families):
+        _family(is_copies, min(is_len, length // 8), is_ident)
+    for _ in range(tandem_loci):
+        unit = rng.integers(0, 4, size=tandem_unit).astype(np.uint8)
+        L = tandem_unit * tandem_copies
+        s = _place(min(L, length // 8))
+        if s >= 0:
+            arr = np.tile(unit, tandem_copies)[: min(L, length // 8)]
+            g[s : s + arr.size] = arr
+    return decode_bases(g)
+
+
 def _mutate_sub(codes: np.ndarray, pos: np.ndarray, rng) -> None:
     codes[pos] = (codes[pos] + rng.integers(1, 4, size=pos.shape[0])) % 4
 
@@ -148,6 +217,10 @@ class SimDataset:
     short_names: List[str]
     long_seqs: List[str]
     long_names: List[str]
+    # phred+33 quality strings for the short reads (return_quals=True) —
+    # produced by the SAME simulate_short_reads call as the sequences, so
+    # names/loci/qualities can never desynchronize (round-3 advisor item 4)
+    short_quals: Optional[List[str]] = None
 
 
 def make_dataset(
@@ -157,9 +230,17 @@ def make_dataset(
     seed: int = 0,
     short_err: float = 0.01,
     long_err: float = 0.10,
+    return_quals: bool = False,
 ) -> SimDataset:
     genome = random_genome(genome_len, seed=seed)
-    ss, sn = simulate_short_reads(genome, coverage=short_cov, error_rate=short_err, seed=seed + 1)
+    if return_quals:
+        ss, sn, sq = simulate_short_reads(
+            genome, coverage=short_cov, error_rate=short_err, seed=seed + 1,
+            return_quals=True)
+    else:
+        ss, sn = simulate_short_reads(genome, coverage=short_cov,
+                                      error_rate=short_err, seed=seed + 1)
+        sq = None
     ls, ln = simulate_long_reads(
         genome,
         coverage=long_cov,
@@ -167,4 +248,4 @@ def make_dataset(
         error_rate=long_err,
         seed=seed + 2,
     )
-    return SimDataset(genome, ss, sn, ls, ln)
+    return SimDataset(genome, ss, sn, ls, ln, short_quals=sq)

@@ -127,3 +127,28 @@ def test_engines_agree_on_polish():
         outs[eng] = polish_contigs([("c0", draft)], pr, cfg)[0][1]
     assert outs["myers"] == genome
     assert outs["sw"] == genome
+
+
+def test_device_prep_matches_host_prep():
+    """The on-device batch prep (resident packed planes, ~64 KB/batch wire)
+    must reproduce the host prep path's corrected output bit-for-bit."""
+    from hga_tpu.models import correction as C
+
+    ds = sim.make_dataset(genome_len=8_000, short_cov=25, long_cov=4, seed=31)
+    pr_s = E.pack_reads(ds.short_seqs, names=ds.short_names, pad_len=112)
+    pad = ((max(len(s) for s in ds.long_seqs) + 31) // 32) * 32
+    pr_l = E.pack_reads(ds.long_seqs, names=ds.long_names,
+                        category=[1] * len(ds.long_seqs), pad_len=pad)
+    cfg = CFG.replace(k=15, w=5, min_shared_minimizers=2)
+    out_dev = C.correct_long_reads(pr_s, pr_l, cfg)
+    assert C.LAST_TIMINGS["dev_prep"] is True
+    C._FORCE_HOST_PREP = True
+    try:
+        out_host = C.correct_long_reads(pr_s, pr_l, cfg)
+        assert C.LAST_TIMINGS["dev_prep"] is False
+    finally:
+        C._FORCE_HOST_PREP = False
+    for i in range(out_dev.n_reads):
+        Ld, Lh = int(out_dev.length[i]), int(out_host.length[i])
+        assert Ld == Lh
+        assert (out_dev.packed[i] == out_host.packed[i]).all()

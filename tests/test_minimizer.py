@@ -50,3 +50,40 @@ def test_minimizers_match_oracle(rng, k, w):
         # device computes windows over the padded plane; windows fully past
         # the read can never be taken because their kmers are invalid
         assert got == exp, (i, s[:40])
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 11])
+def test_seed_entries_lossless_at_small_w(rng, w):
+    """Device compaction must keep EVERY taken minimizer entry even when
+    the take density exceeds the sized cap (w <= 3 reaches density ~1/2..1;
+    the round-3 cap of slots/2+64 silently dropped the excess — advisor
+    item 1).  Count is checked against the per-read oracle."""
+    from hga_tpu.config import AssemblerConfig
+    from hga_tpu.models.seeding import extract_seed_entries
+
+    k = 11
+    seqs = _reads(rng, 24, 60, 200)
+    pr = E.pack_reads(seqs, pad_len=208)
+    cfg = AssemblerConfig(k=k, w=w, batch_reads=8)
+    ent = extract_seed_entries(pr, cfg)
+    expect = sum(
+        len(oracle.minimizers(*E.encode_bases(s), len(s), k, w))
+        for s in seqs)
+    assert ent.read.size == expect
+
+
+def test_seed_entries_lossless_homopolymer(rng):
+    """Adversarial density-1 input: leftmost-tie-break makes every window
+    take a new position on a long homopolymer; the full-capacity re-run
+    path must keep them all."""
+    from hga_tpu.config import AssemblerConfig
+    from hga_tpu.models.seeding import extract_seed_entries
+
+    seqs = ["A" * 180] * 8 + _reads(rng, 8, 100, 180)
+    pr = E.pack_reads(seqs, pad_len=192)
+    cfg = AssemblerConfig(k=11, w=9, batch_reads=16)
+    ent = extract_seed_entries(pr, cfg)
+    expect = sum(
+        len(oracle.minimizers(*E.encode_bases(s), len(s), 11, 9))
+        for s in seqs)
+    assert ent.read.size == expect

@@ -94,11 +94,7 @@ def test_use_quality_without_plane_falls_back_unweighted(caplog):
 
 
 def test_use_quality_rejects_sw_engine():
-    genome = sim.random_genome(400, seed=11)
-    reads, names = sim.simulate_short_reads(genome, coverage=12, read_len=100,
-                                            error_rate=0.0, seed=12)
-    quals = [_qstr(30, len(s)) for s in reads]
-    pr = E.pack_reads(reads, names=names, pad_len=112, quals=quals)
-    cfg = CFG.replace(use_quality=True, corr_engine="sw")
+    # the invalid combination fails at CONFIG CONSTRUCTION (fail-fast:
+    # nothing downstream — candidate generation, DP batching — ever runs)
     with pytest.raises(ValueError, match="use_quality"):
-        polish_contigs([("c", genome)], pr, cfg)
+        CFG.replace(use_quality=True, corr_engine="sw")
