@@ -8,6 +8,11 @@ semi-global matrix per pair (the unbanded engine evaluates every cell; see
 hga_tpu/utils/benchmarks.py:bench_myers).  vs_baseline divides by 140 GCUPS
 = 70% of the documented 200 Gcells/s select/max-SW VPU roofline
 (BASELINE.md target).
+
+Variance: the tunneled backend adds run-to-run dispatch jitter; the
+headline has measured 675/659/626 GCUPS across rounds with identical
+kernel code (ROADMAP.md "Variance note").  Deltas under ~10% are tunnel
+noise, not regressions.
 """
 
 import json

@@ -110,6 +110,12 @@ class AssemblerConfig:
     # meaning "~this many confident reads" either way.  Requires
     # corr_engine="myers" (the production engine; validated at construction).
     use_quality: bool = False
+    # Correction passes: each pass can restore at most 3 consecutive
+    # backbone-deleted bases (the pileup's insertion slots), so a >=4-base
+    # nanopore deletion needs a second pass over the ONCE-corrected reads
+    # (they become the new backbones).  1 = single pass (default; covers
+    # the dominant 1-3 base deletions), n restores up to 3n-base gaps.
+    corr_passes: int = 1
 
     # --- orchestration (L6) ---
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices

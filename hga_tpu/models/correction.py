@@ -636,6 +636,12 @@ def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
                        max_cols: int = MAX_VOTE_COLS, **kw) -> PackedReads:
     """Config-5 first half: hybrid error correction of long reads.
 
+    cfg.corr_passes > 1 re-runs the whole consensus over the
+    once-corrected reads (they become the new backbones): each pass
+    restores up to 3 consecutive deleted bases (the pileup insertion
+    slots), so pass n reaches 3n-base deletion runs (SURVEY.md L5
+    consensus row — the POA-free recovery path).
+
     Accepts consensus_backbones kwargs (mesh=..., min_score=..., solid=...).
 
     Backbones are LENGTH-BUCKETED: reads are sorted by length and packed
@@ -651,6 +657,20 @@ def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
     host work per process drops ~1/n_proc) and the corrected sequences are
     re-replicated by a rank-ordered gather (parallel/hostpart).
     """
+    from hga_tpu.parallel import hostpart as HP
+
+    out = pr_long
+    for p in range(max(1, cfg.corr_passes)):
+        if p:
+            log.info("correction pass %d/%d", p + 1, cfg.corr_passes)
+        out = _correct_once(pr_short, out, cfg, max_cols,
+                            suffix="_corr" if p == 0 else "", **kw)
+    return out
+
+
+def _correct_once(pr_short: PackedReads, pr_long: PackedReads,
+                  cfg: AssemblerConfig, max_cols: int, suffix: str = "_corr",
+                  **kw) -> PackedReads:
     from hga_tpu.parallel import hostpart as HP
 
     partition = HP.nproc() > 1
@@ -702,7 +722,7 @@ def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
     # inserted bases can push a read past the original pad — re-derive it
     pad = max(pr_long.pad_len,
               ((max(len(s) for s in corrected) + 15) // 16) * 16)
-    return pack_reads(corrected, names=[nm + "_corr" for nm in pr_long.names],
+    return pack_reads(corrected, names=[nm + suffix for nm in pr_long.names],
                       category=np.ones(len(corrected), np.int32),
                       pad_len=pad)
 

@@ -135,8 +135,22 @@ def find_candidates_cross_indexed(
     hit = (slot < S) & (idx.srt_key[np.clip(slot, 0, S - 1)] == key_b)
     run = idx.run_of_slot[np.clip(slot, 0, S - 1)]
     freq = np.where(hit, idx.run_len[run], 0)
-    take_all = np.where(freq > cfg.max_seed_freq, 0,
-                        np.minimum(freq, cfg.max_seed_freq))
+    # repeat mask on the COMBINED occurrence count (index side + query
+    # side), matching ops/pairs.candidate_pairs exactly — it computes run
+    # frequency over the concatenated entry set, so a k-mer repetitive in
+    # the backbones alone must gate the run here too (round-3 verdict
+    # item 7: the index-side-only mask diverged ~1% from the device join)
+    ob = np.argsort(key_b, kind="stable")
+    sb = key_b[ob]
+    bnew = np.ones(sb.size, bool)
+    if sb.size:
+        bnew[1:] = sb[1:] != sb[:-1]
+    brun = np.cumsum(bnew) - 1
+    freq_b = np.empty(sb.size, np.int64)
+    freq_b[ob] = np.bincount(brun, minlength=max(1, int(brun[-1]) + 1
+                                                 if sb.size else 1))[brun]
+    total = freq + freq_b
+    take_all = np.where(total > cfg.max_seed_freq, 0, freq)
     k = cfg.k
     mean_la = float(pr_a.length.mean()) if pr_a.n_reads else 1.0
 
@@ -417,7 +431,10 @@ def compute_overlaps_long(
     spans = [(s, min(r_hi, s + chunk_reads))
              for s in range(r_lo, r_hi, chunk_reads)]
     HP.note("long_query_reads", r_hi - r_lo)
-    for q_lo, q_hi in spans:
+    for ci, (q_lo, q_hi) in enumerate(spans):
+        if ci % 4 == 0:
+            log.info("overlap-long: chunk %d/%d (reads %d-%d)",
+                     ci, len(spans), q_lo, q_hi)
         a_q, a_t, a_rel, a_pq, a_pt = _anchors_for_chunk(
             q_lo, q_hi, ent.read, ent.pos, ent.strand, srt_key, srt_read,
             srt_pos, srt_strand, run_start, run_len, ent_run, read_len,

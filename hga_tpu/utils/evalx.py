@@ -25,8 +25,30 @@ def n50(lengths: Sequence[int]) -> int:
     return 0
 
 
-def _kmer_set(seq: str, k: int) -> set:
-    return {seq[i : i + k] for i in range(len(seq) - k + 1)}
+def _kmers_u64(seq: str, k: int, canonical: bool) -> np.ndarray:
+    """All k-mer values of seq as uint64 (k <= 31), vectorized.
+
+    canonical=True returns min(value, revcomp value) per position; N-bearing
+    k-mers are dropped (the set-of-strings predecessor treated them as
+    ordinary distinct strings; simulated genomes carry no Ns, so the
+    metrics are unchanged where they are used)."""
+    from hga_tpu.io.encode import encode_bases
+    from hga_tpu.utils.oracle import kmer_values
+
+    codes, bad = encode_bases(seq)
+    if canonical:
+        canon, _, valid = kmer_values(codes, bad, len(seq), k)
+        return canon[valid]
+    # forward-only values (same loop shape as the oracle)
+    m = max(0, len(seq) - k + 1)
+    if m == 0:
+        return np.zeros(0, np.uint64)
+    c64 = codes.astype(np.uint64)
+    fwd = np.zeros(m, np.uint64)
+    for t in range(k):
+        fwd |= c64[t : t + m] << np.uint64(2 * (k - 1 - t))
+    badc = np.concatenate([[0], np.cumsum(bad[: len(seq)], dtype=np.int64)])
+    return fwd[(badc[k:] - badc[:-k]) == 0]
 
 
 def evaluate_contigs(contigs: List[Tuple[str, str]], reference: str,
@@ -36,29 +58,47 @@ def evaluate_contigs(contigs: List[Tuple[str, str]], reference: str,
     identity  — fraction of contig k-mers present in the reference (strand
                 agnostic): measures base accuracy + chimera-freeness.
     genome_fraction — fraction of reference k-mers covered by contigs.
+
+    Vectorized over sorted uint64 canonical k-mer arrays (the Python
+    set-of-strings version cost minutes of host time at 4.6 Mb).
     """
     lengths = [len(s) for _, s in contigs]
-    ref_k = _kmer_set(reference, k) | _kmer_set(revcomp_str(reference), k)
-    contig_k = set()
+    ref_canon = np.unique(_kmers_u64(reference, k, canonical=True))
     hit = 0
     tot = 0
+    contig_sets = []
     for _, s in contigs:
-        for i in range(len(s) - k + 1):
-            km = s[i : i + k]
-            contig_k.add(km)
-            tot += 1
-            if km in ref_k:
-                hit += 1
-    ref_only = _kmer_set(reference, k)
-    covered = sum(1 for km in ref_only
-                  if km in contig_k or revcomp_str(km) in contig_k)
+        ck = _kmers_u64(s, k, canonical=True)
+        tot += ck.size
+        idx = np.searchsorted(ref_canon, ck)
+        idx = np.clip(idx, 0, max(ref_canon.size - 1, 0))
+        if ref_canon.size:
+            hit += int((ref_canon[idx] == ck).sum())
+        contig_sets.append(np.unique(ck))
+    contig_canon = (np.unique(np.concatenate(contig_sets)) if contig_sets
+                    else np.zeros(0, np.uint64))
+    # denominator: distinct FORWARD reference k-mers; one is covered iff its
+    # canonical value appears in any contig (strand-agnostic), matching the
+    # string-set predecessor's semantics
+    ref_fwd = np.unique(_kmers_u64(reference, k, canonical=False))
+    mask = np.uint64((1 << (2 * k)) - 1)
+    rc = np.zeros_like(ref_fwd)
+    v = ref_fwd.copy()
+    for t in range(k):
+        rc = (rc << np.uint64(2)) | (np.uint64(3) - (v & np.uint64(3)))
+        v >>= np.uint64(2)
+    ref_fwd_canon = np.minimum(ref_fwd, rc & mask)
+    idx = np.searchsorted(contig_canon, ref_fwd_canon)
+    idx = np.clip(idx, 0, max(contig_canon.size - 1, 0))
+    covered = int((contig_canon[idx] == ref_fwd_canon).sum()) if (
+        contig_canon.size) else 0
     return dict(
         n_contigs=len(contigs),
         total_len=int(sum(lengths)),
         n50=n50(lengths),
         longest=int(max(lengths) if lengths else 0),
         identity=hit / tot if tot else 0.0,
-        genome_fraction=covered / len(ref_only) if ref_only else 0.0,
+        genome_fraction=covered / ref_fwd.size if ref_fwd.size else 0.0,
     )
 
 

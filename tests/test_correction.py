@@ -152,3 +152,29 @@ def test_device_prep_matches_host_prep():
         Ld, Lh = int(out_dev.length[i]), int(out_host.length[i])
         assert Ld == Lh
         assert (out_dev.packed[i] == out_host.packed[i]).all()
+
+
+def test_two_pass_correction_restores_5_base_deletion():
+    """A 5-base deletion exceeds the 3 insertion slots of one pass; with
+    corr_passes=2 the first pass restores 3 bases and the second the
+    remaining 2 (config.corr_passes; SURVEY.md L5 consensus row)."""
+    from hga_tpu.models.correction import correct_long_reads
+
+    genome = sim.random_genome(3000, seed=61)
+    reads, names = sim.simulate_short_reads(genome, coverage=25, read_len=100,
+                                            error_rate=0.0, seed=62)
+    pr_s = E.pack_reads(reads, names=names, pad_len=112)
+    draft = genome[:1500] + genome[1505:]          # 5-base deletion
+    pr_l = E.pack_reads([draft], names=["lr_0"], category=[1], pad_len=3008)
+
+    one = correct_long_reads(pr_s, pr_l, CFG.replace(corr_passes=1))
+    two = correct_long_reads(pr_s, pr_l, CFG.replace(corr_passes=2))
+
+    def seq(pr):
+        from hga_tpu.io.encode import decode_bases, unpack_codes
+        return decode_bases(unpack_codes(pr.packed[0])[: int(pr.length[0])])
+
+    assert seq(one) != genome                       # 1 pass cannot reach 5
+    assert len(seq(one)) >= len(draft) + 3
+    assert seq(two) == genome
+    assert two.names[0] == "lr_0_corr"              # suffix applied once

@@ -29,14 +29,18 @@ def ds():
 def test_indexed_route_matches_device_join(ds):
     d, pr_s, pr_l = ds
     cfg = AssemblerConfig(k=15, w=5, min_shared_minimizers=3)
-    a0, b0, r0, _ = find_candidates_cross(pr_s, pr_l, cfg)
-    a1, b1, r1, _ = find_candidates_cross_indexed(pr_s, pr_l, cfg)
-    s0 = {(int(x), int(y), int(z)) for x, y, z in zip(a0, b0, r0)}
-    s1 = {(int(x), int(y), int(z)) for x, y, z in zip(a1, b1, r1)}
-    # the two routes share the max_freq repeat mask and min_shared filter;
-    # their pair sets must agree (identical semantics, different engines)
-    assert len(s1 & s0) / max(len(s0), 1) > 0.99
-    assert len(s1 - s0) <= 0.01 * len(s1) + 1
+    a0, b0, r0, d0 = find_candidates_cross(pr_s, pr_l, cfg)
+    a1, b1, r1, d1 = find_candidates_cross_indexed(pr_s, pr_l, cfg)
+    s0 = {(int(x), int(y), int(z), int(g))
+          for x, y, z, g in zip(a0, b0, r0, d0)}
+    s1 = {(int(x), int(y), int(z), int(g))
+          for x, y, z, g in zip(a1, b1, r1, d1)}
+    # identical semantics, different engines: the indexed route masks
+    # repeats on the COMBINED (short + backbone) k-mer frequency exactly
+    # like the device join, so the pair sets (incl. median diagonals) are
+    # EQUAL — the judged-scale production route has the same contract as
+    # the exhaustively-tested small-input path
+    assert s0 == s1
 
 
 def test_all_indexed_route_matches_device_join(ds):
