@@ -370,7 +370,8 @@ def _chain_representatives(q, t, rel, pos_q, pos_t, min_shared: int):
     rep = bstart + blen // 2                    # diagonal median per bucket
     keep = ok_group[gid[rep]]
     rep = rep[keep]
-    return (q[rep], t[rep], rel[rep], pos_q[rep], pos_t[rep], gid[rep])
+    return (q[rep], t[rep], rel[rep], pos_q[rep], pos_t[rep], gid[rep],
+            cnt[gid[rep]])
 
 
 def compute_overlaps_long(
@@ -441,12 +442,12 @@ def compute_overlaps_long(
             k, cfg.max_seed_freq)
         if a_q.size == 0:
             continue
-        rq, rt, rrel, rpq, rpt, rgid = _chain_representatives(
+        rq, rt, rrel, rpq, rpt, rgid, rcnt = _chain_representatives(
             a_q, a_t, a_rel, a_pq, a_pt, cfg.min_shared_minimizers)
         if rq.size == 0:
             continue
-        res = _align_chains(rq, rt, rrel, rpq, rpt, rgid, codes, read_len,
-                            cfg, edit, k, seg_batch)
+        res = _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes,
+                            read_len, cfg, edit, k, seg_batch)
         for f in out:
             out[f].append(res[f])
 
@@ -461,8 +462,11 @@ def compute_overlaps_long(
     return rec
 
 
-def _align_chains(rq, rt, rrel, rpq, rpt, rgid, codes, read_len, cfg, edit,
-                  k: int, seg_batch: int):
+ANCHOR_DENSITY_FLOOR = 500   # min 1 shared anchor per this many span bases
+
+
+def _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes, read_len, cfg,
+                  edit, k: int, seg_batch: int):
     """Cut each chain into segments, run batched Myers, aggregate per pair."""
     # group boundaries over representatives (gid sorted)
     gnew = np.ones(rq.shape[0], bool)
@@ -482,6 +486,14 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, codes, read_len, cfg, edit,
     qs = np.maximum(0, d_first)
     qe = np.minimum(la, lb + d_last)
     valid_pair = qe - qs >= cfg.min_overlap_len
+    # anchor-density prefilter (wall-clock only; the full-span DP gate is
+    # the correctness backstop): a true overlap at w<=16 keeps >= ~1 shared
+    # minimizer per ~70 bases even for 10%-error raw reads, so a chain
+    # whose span exceeds 500 bases/anchor is a seed collision between
+    # unrelated reads — rejecting it here skips its (now fully split and
+    # aligned, hence expensive) segment DPs
+    valid_pair &= rcnt[g_first].astype(np.int64) * ANCHOR_DENSITY_FLOOR >= (
+        qe - qs)
 
     # ---- segment table ----
     # one segment per (rep boundary): [prev_cut, cut) on the query axis;
