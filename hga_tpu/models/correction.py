@@ -699,6 +699,7 @@ def _correct_once(pr_short: PackedReads, pr_long: PackedReads,
                                             solid=kw.get("solid"))
 
     corrected: List[Optional[str]] = [None] * n
+    totals: dict = {}
     for g in groups:
         if partition:
             b_lo, b_hi = HP.block_range(len(g))
@@ -710,8 +711,12 @@ def _correct_once(pr_short: PackedReads, pr_long: PackedReads,
         sub = pr_long.subset(g).with_pad(pad_g)
         log.info("correction group: %d reads @ pad %d", len(g), pad_g)
         seqs = consensus_backbones(sub, pr_short, cfg, **kw)
+        for key, v in LAST_TIMINGS.items():   # sum the split across groups
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                totals[key] = round(totals.get(key, 0) + v, 3)
         for i, s in zip(g, seqs):
             corrected[i] = s
+    LAST_TIMINGS.update(totals)
     if partition:
         mine = [i for i in range(n) if corrected[i] is not None]
         g_idx, g_seqs = HP.allgather_indexed_strings(

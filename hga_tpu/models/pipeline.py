@@ -263,6 +263,11 @@ def run_pipeline(
             if main:
                 asm_reads.save(path("corrected.npz"))
             st.done("corrected", t0, inputs)
+            from hga_tpu.models.correction import LAST_TIMINGS as CT
+
+            # candidates / host-prep / drain / bytes split of the LAST
+            # consensus group (round-3 verdict item 3: publish the split)
+            st.stats["correction_detail"] = dict(CT)
 
     if asm_reads is None:
         raise ValueError("no reads given")
@@ -339,6 +344,9 @@ def run_pipeline(
         if main:
             write_fasta(path("polished.fasta"), polished)
         st.done("polish", t0, inputs)
+        from hga_tpu.models.correction import LAST_TIMINGS as CT
+
+        st.stats["polish_detail"] = dict(CT)
 
     st.stats["total_seconds"] = round(time.perf_counter() - t_all, 3)
     st.stats["config"] = json.loads(cfg.to_json())
