@@ -79,9 +79,11 @@ def load_reads(
     When pad lengths are known up front and the native C++ parser built, the
     packing happens in native code (single pass, no Python string objects);
     otherwise the pure-Python reader runs (two passes over lengths).
-    keep_quality=True retains the SHORT reads' FASTQ quality plane
-    (PackedReads.qual; consumed by cfg.use_quality consensus weighting) —
-    quality-keeping loads always use the Python reader.
+    keep_quality=True retains the FASTQ quality plane for BOTH read sets
+    (PackedReads.qual — per-read metadata, SURVEY.md L0; the short-read
+    plane feeds cfg.use_quality consensus weighting, the long-read plane
+    is carried as metadata for downstream tooling) — quality-keeping
+    loads always use the Python reader.
     """
     from hga_tpu.io import native as NV
 
@@ -91,7 +93,7 @@ def load_reads(
         pr_l = _load_native(long_paths, long_pad, 1) if long_paths else None
         return pr_s, pr_l
 
-    shorts, snames, squals, longs, lnames = [], [], [], [], []
+    shorts, snames, squals, longs, lnames, lquals = [], [], [], [], [], []
     for rec in read_sequence_files(list(short_paths) + list(long_paths),
                                    categories=[0] * len(short_paths)
                                    + [1] * len(long_paths)):
@@ -102,6 +104,7 @@ def load_reads(
         else:
             longs.append(rec.seq)
             lnames.append(rec.name)
+            lquals.append(rec.quality)
     pr_s = pr_l = None
     if shorts:
         pad = short_pad or _round16(max(len(s) for s in shorts))
@@ -109,8 +112,10 @@ def load_reads(
                           quals=squals if keep_quality else None)
     if longs:
         pad = long_pad or _round16(max(len(s) for s in longs))
+        keep_lq = keep_quality and any(q is not None for q in lquals)
         pr_l = pack_reads(longs, names=lnames,
-                          category=[1] * len(longs), pad_len=pad)
+                          category=[1] * len(longs), pad_len=pad,
+                          quals=lquals if keep_lq else None)
     return pr_s, pr_l
 
 
