@@ -121,9 +121,14 @@ def _compact_batch_fn(k: int, w: int, full: bool = False):
                 x.ravel(), mode="drop")[:cap]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (B, n_win), 0)
+        # pack (row, strand, pos) into ONE readback word — the compacted
+        # entry readback is 3 words/entry instead of 5 (the tunnel reads
+        # back at ~3 MB/s, so long-pad extraction is readback-bound):
+        # row 12 bits (batch <= 4096) | strand 1 | pos 19 (pad < 512k)
+        meta = ((row << 20) | (mb.strand.astype(jnp.int32) << 19)
+                | mb.pos.astype(jnp.int32))
         count = jnp.sum(flat.astype(jnp.int32))
-        return (put(mb.hi), put(mb.lo), put(mb.pos),
-                put(mb.strand.astype(jnp.int32)), put(row), count)
+        return (put(mb.hi), put(mb.lo), put(meta), count)
 
     return f
 
@@ -142,7 +147,10 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
     # small read sets (e.g. contig backbones) must not pad up to a huge
     # static batch; power-of-two rounding bounds the compiled shapes; the
     # slot budget bounds rows x windows for long pads
-    B = min(cfg.batch_reads,
+    # the packed readback word allots 12 bits to the batch row and 19 to
+    # the position (see _compact_batch_fn)
+    assert pr.pad_len < (1 << 19), "pad_len exceeds the packed-meta budget"
+    B = min(cfg.batch_reads, 4096,
             max(8, 1 << (max(1, len(idx)) - 1).bit_length()),
             max(8, 1 << max(0, (EXTRACT_SLOT_BUDGET // max(pr.pad_len, 1))
                             .bit_length() - 1)))
@@ -169,7 +177,7 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
     # sliced readback (PP analog, parallel/stream.py)
     f_full = None
     for out, sel, nb in pipelined_map(lambda *x: x, batches()):
-        hi_c, lo_c, pos_c, str_c, row_c, count = out
+        hi_c, lo_c, meta_c, count = out
         K_n = int(count)
         cap = hi_c.shape[0]
         if K_n > cap:
@@ -185,7 +193,7 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
                 packed = np.pad(packed, ((0, padn), (0, 0)))
                 bad = np.pad(bad, ((0, padn), (0, 0)))
                 length = np.pad(length, (0, padn))
-            hi_c, lo_c, pos_c, str_c, row_c, count = f_full(
+            hi_c, lo_c, meta_c, count = f_full(
                 jnp.asarray(packed), jnp.asarray(bad), jnp.asarray(length))
             cap = hi_c.shape[0]
         if K_n == 0:
@@ -193,13 +201,14 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
         # fetch ONLY the compacted prefix, pow2-rounded to bound shapes
         Kp = min(cap, max(1 << 14, 1 << (K_n - 1).bit_length()))
         fetch = lambda x: np.asarray(x[:Kp])[:K_n]
-        rows = fetch(row_c)
+        meta = fetch(meta_c)
+        rows = meta >> 20
         keep = rows < nb                  # padded rows produce no entries,
         # but guard anyway (their length is 0 so take is already False)
         his.append(fetch(hi_c)[keep])
         los.append(fetch(lo_c)[keep])
-        poss.append(fetch(pos_c)[keep])
-        strands.append(fetch(str_c)[keep].astype(np.int32))
+        poss.append((meta & 0x7FFFF)[keep])
+        strands.append(((meta >> 19) & 1)[keep].astype(np.int32))
         reads.append(sel[rows[keep]].astype(np.int32))
     cat = lambda xs, dt: (np.concatenate(xs).astype(dt) if xs else np.zeros(0, dt))
     return SeedEntries(
