@@ -182,8 +182,13 @@ def simulate_long_reads(
     i = 0
     while emitted < total:
         L = int(np.clip(rng.lognormal(np.log(mean_len), 0.4), min_len, G))
-        s = int(rng.integers(0, max(1, G - L + 1)))
-        codes = gcodes[s : s + L].copy()
+        if circular:
+            # reads may span the origin of a circular chromosome
+            s = int(rng.integers(0, G))
+            codes = gcodes[np.arange(s, s + L) % G].copy()
+        else:
+            s = int(rng.integers(0, max(1, G - L + 1)))
+            codes = gcodes[s : s + L].copy()
         # error process: walk the read, inject errors position-wise
         out: List[int] = []
         p = 0
