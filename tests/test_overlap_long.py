@@ -125,3 +125,34 @@ def test_true_overlap_with_anchor_desert_survives():
     assert ov.n == 1
     assert int(ov.a_start[0]) <= 1050 and int(ov.a_end[0]) >= 6950
     assert float(ov.identity()[0]) >= 0.99
+
+
+def test_outlier_anchor_does_not_inflate_span():
+    """A true ~6 kb dovetail plus ONE spurious shared block far outside the
+    overlap (a k-mer collision) must not let the chain follow the outlier:
+    the reported span stays the true overlap, so the longer read is never
+    misclassified as contained (the judged-scale contig-break cause)."""
+    rng = np.random.default_rng(91)
+    g = rng.integers(0, 4, 26_000)
+    A = g[:20_000].copy()          # read a: genome prefix (20 kb)
+    B = g[14_000:26_000].copy()    # read b: 6 kb true dovetail with a
+    # spurious shared 40-mer: copy a block from a's START into b's END —
+    # far off the true diagonal (true diag ~ +14000; outlier ~ -9500)
+    B[11_500:11_540] = A[2_000:2_040]
+    from hga_tpu.io.encode import decode_bases
+
+    seqs = [decode_bases(A.astype(np.uint8)), decode_bases(B.astype(np.uint8))]
+    pr = pack_reads(seqs, names=["a", "b"], pad_len=20_000)
+    cfg = AssemblerConfig(k=15, w=4, min_shared_minimizers=2,
+                          min_overlap_len=500, min_identity=0.75)
+    ov = compute_overlaps_long(pr, cfg)
+    assert ov.n == 1
+    span = int(ov.a_end[0] - ov.a_start[0])
+    assert 5_500 <= span <= 6_500, (span, np.asarray(ov.a_start),
+                                    np.asarray(ov.a_end))
+    assert float(ov.identity()[0]) >= 0.99
+    # and the resulting graph keeps both reads (no false containment)
+    from hga_tpu.models.assembly import build_string_graph
+
+    gph = build_string_graph(ov, 2, cfg)
+    assert not gph.contained.any()
