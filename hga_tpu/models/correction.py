@@ -418,9 +418,15 @@ def consensus_backbones(
     mesh=None,
     solid=None,
     seed_index=None,
+    cands=None,
 ) -> List[str]:
     """Correct every backbone by short-read pileup consensus (device DP +
-    device traceback + device scatter votes); returns corrected sequences."""
+    device traceback + device scatter votes); returns corrected sequences.
+
+    cands: optional pre-computed (a, b, rel, diag) candidate arrays with b
+    indexing `backbones` — the length-bucketed driver generates candidates
+    ONCE over the whole long-read set and slices per group instead of
+    re-querying the index per group."""
     if batch_pairs is None:
         batch_pairs = cfg.corr_batch_pairs
     nb = backbones.n_reads
@@ -431,9 +437,12 @@ def consensus_backbones(
     import time as _time
 
     t_cand0 = _time.perf_counter()
-    a, b, rel, diag = find_candidates_cross(reads, backbones, cfg,
-                                            solid=solid,
-                                            seed_index=seed_index)
+    if cands is not None:
+        a, b, rel, diag = cands
+    else:
+        a, b, rel, diag = find_candidates_cross(reads, backbones, cfg,
+                                                solid=solid,
+                                                seed_index=seed_index)
     t_cand = _time.perf_counter() - t_cand0
     log.info("correction: %d read->backbone candidates for %d backbones",
              len(a), nb)
@@ -589,41 +598,68 @@ def consensus_backbones(
     log.info("correction consensus: %s", LAST_TIMINGS)
 
     # device consensus call over all backbones at once, straight off the
-    # flat device vote buffer (no host round-trip of the votes).  With
-    # quality weighting active, votes are in weighted units (a confident
-    # base weighs 3), so the absolute depth floor scales x3 to keep the
-    # same effective read-count gate (round-3 advisor item 2: otherwise a
-    # single q>=28 read would pass a gate meant to require two reads).
+    # flat device vote buffer.  With quality weighting active, votes are
+    # in weighted units (a confident base weighs 3), so the absolute depth
+    # floor scales x3 to keep the same effective read-count gate (round-3
+    # advisor item 2: otherwise a single q>=28 read would pass a gate
+    # meant to require two reads).  Insertions are CALLED on device and
+    # only the called entries cross the tunnel (the dense insertion vote
+    # tensor is ~1.2 GB per judged-scale group — about half the round-3
+    # correction wall-clock was its readback).
     min_depth = cfg.min_pileup_depth * (3 if r_qw is not None else 1)
-    votes = merged[:size_v]
     flat_backbone = jnp.asarray(b_codes_fwd.reshape(nb * Lpad).clip(0, 3))
-    sym_out, depth = PU.consensus_call(votes, flat_backbone,
-                                       min_depth=min_depth)
-    ins_votes = np.asarray(merged[size_v:]).reshape(nb, Lpad, INS_SLOTS, 4)
+    cap = max(1 << 12, nb * Lpad // 8)
+    sym8, n_ins_d, packed = PU.consensus_and_insertions(
+        merged, flat_backbone, min_depth=min_depth, size_v=size_v,
+        ins_slots=INS_SLOTS, cap=cap)
     if _DEBUG_SINK is not None:  # observability hook for tests/debugging
         _DEBUG_SINK.update(
-            votes=np.asarray(votes).reshape(nb, Lpad, PU.N_SYM),
-            ins_votes=ins_votes)
-    sym_out = np.asarray(sym_out).reshape(nb, Lpad)
-    depth = np.asarray(depth).reshape(nb, Lpad)
-    # insertion call: majority of covering reads must carry the extra base
-    ins_best = ins_votes.argmax(-1).astype(np.uint8)        # (nb, L, S)
-    ins_cnt = ins_votes.max(-1)
-    need = np.maximum(min_depth, (depth + 1) // 2)
-    do_ins = ins_cnt >= need[..., None]
-    out: List[str] = []
+            votes=np.asarray(merged[:size_v]).reshape(nb, Lpad, PU.N_SYM),
+            ins_votes=np.asarray(merged[size_v:]).reshape(
+                nb, Lpad, INS_SLOTS, 4))
+    sym_out = np.asarray(sym8).reshape(nb, Lpad)
+    n_ins = int(n_ins_d)
     stride = 1 + INS_SLOTS
+    if n_ins > cap:  # error-rate bound blown: dense fallback, never drop
+        log.warning("insertion calls %d > cap %d — dense fallback",
+                    n_ins, cap)
+        _, depth = PU.consensus_call(merged[:size_v], flat_backbone,
+                                     min_depth=min_depth)
+        depth = np.asarray(depth).reshape(nb, Lpad)
+        ins_votes = np.asarray(merged[size_v:]).reshape(
+            nb, Lpad, INS_SLOTS, 4)
+        ins_best = ins_votes.argmax(-1).astype(np.uint8)
+        ins_cnt = ins_votes.max(-1)
+        do_ins = ins_cnt >= np.maximum(min_depth,
+                                       (depth + 1) // 2)[..., None]
+        e_b, e_col, e_slot = np.nonzero(do_ins)
+        e_base = ins_best[e_b, e_col, e_slot]
+    else:
+        Kp = max(1 << 12, 1 << max(0, (max(n_ins, 1) - 1).bit_length()))
+        sp = np.asarray(packed[:min(cap, Kp)])[:n_ins]
+        flat = sp >> 2
+        e_base = (sp & 3).astype(np.uint8)
+        e_slot = flat % INS_SLOTS
+        colf = flat // INS_SLOTS
+        e_b = colf // Lpad
+        e_col = colf % Lpad
+    out: List[str] = []
+    # per-read emission: base row from the int8 symbol plane; insertion
+    # positions filled from the sparse entries (sorted by read already)
+    lo = np.searchsorted(e_b, np.arange(nb))
+    hi = np.searchsorted(e_b, np.arange(nb), side="right")
     for i in range(nb):
         L = int(backbones.length[i])
-        vals = np.empty(stride * L, np.uint8)
+        vals = np.zeros(stride * L, np.uint8)
         mask = np.zeros(stride * L, bool)
         vals[0::stride] = sym_out[i, :L].astype(np.uint8)
         mask[0::stride] = sym_out[i, :L] != 4
-        for s in range(INS_SLOTS):
-            # slot s is s-th from the run END: emit higher slots first
-            o = 1 + (INS_SLOTS - 1 - s)
-            vals[o::stride] = ins_best[i, :L, s]
-            mask[o::stride] = do_ins[i, :L, s]
+        sl = slice(lo[i], hi[i])
+        # slot s is s-th from the run END: emit higher slots first
+        pos = e_col[sl] * stride + 1 + (INS_SLOTS - 1 - e_slot[sl])
+        keep = e_col[sl] < L
+        vals[pos[keep]] = e_base[sl][keep]
+        mask[pos[keep]] = True
         out.append(decode_bases(vals[mask]))
     return out
 
@@ -698,6 +734,16 @@ def _correct_once(pr_short: PackedReads, pr_long: PackedReads,
         kw["seed_index"] = build_seed_index(pr_short, cfg,
                                             solid=kw.get("solid"))
 
+    # single-process: query the index ONCE for the whole long-read set and
+    # slice candidates per group (the per-group re-query cost ~90 s/group
+    # at judged scale).  Multi-process keeps per-group generation so each
+    # process only pays for its backbone block.
+    g_all = None
+    if not partition and len(groups) > 1:
+        g_all = find_candidates_cross(
+            pr_short, pr_long, cfg, solid=kw.get("solid"),
+            seed_index=kw.get("seed_index"))
+
     corrected: List[Optional[str]] = [None] * n
     totals: dict = {}
     for g in groups:
@@ -710,7 +756,16 @@ def _correct_once(pr_short: PackedReads, pr_long: PackedReads,
         pad_g = ((int(pr_long.length[g].max()) + 31) // 32) * 32
         sub = pr_long.subset(g).with_pad(pad_g)
         log.info("correction group: %d reads @ pad %d", len(g), pad_g)
-        seqs = consensus_backbones(sub, pr_short, cfg, **kw)
+        gkw = kw
+        if g_all is not None:
+            a_c, b_c, r_c, d_c = g_all
+            inv = np.full(n, -1, np.int64)
+            inv[g] = np.arange(len(g))
+            bm = inv[b_c]
+            m = bm >= 0
+            gkw = dict(kw, cands=(a_c[m], bm[m].astype(b_c.dtype),
+                                  r_c[m], d_c[m]))
+        seqs = consensus_backbones(sub, pr_short, cfg, **gkw)
         for key, v in LAST_TIMINGS.items():   # sum the split across groups
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 totals[key] = round(totals.get(key, 0) + v, 3)

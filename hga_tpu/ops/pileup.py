@@ -379,3 +379,44 @@ def consensus_call(
     best = jnp.argmax(planes, axis=0).astype(I32)  # ties -> lower symbol
     out = jnp.where(depth >= min_depth, best, bb)
     return out, depth
+
+
+@functools.partial(jax.jit, static_argnames=("min_depth", "size_v",
+                                             "ins_slots", "cap"))
+def consensus_and_insertions(
+    merged: jax.Array,     # int32 (size_v + size_i,) flat vote buffer
+    backbone: jax.Array,   # int32 (L,) backbone base codes (L = nb*lpad)
+    *,
+    min_depth: int,
+    size_v: int,
+    ins_slots: int,
+    cap: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Device-side consensus symbols + SPARSE insertion calls.
+
+    The dense path read the whole insertion vote tensor back to host —
+    nb x lpad x slots x 4 int32 = ~1.2 GB per judged-scale correction
+    group over a ~MB/s tunnel, about half the correction stage's
+    wall-clock.  Insertion calls are rare (error-rate-bounded), so the
+    call happens on device and only the called entries come back:
+
+    returns (sym int8 (L,), n_ins int32, packed int32 (cap,)) with
+    packed[i] = ((col_flat * ins_slots + slot) << 2) | base for the first
+    n_ins called insertions (ascending flat order).  Callers fetch
+    packed[:pow2(n_ins)].  n_ins > cap means the cap was exceeded (callers
+    fall back to the dense path; never silently dropped).
+    """
+    votes = merged[:size_v]
+    sym, depth = consensus_call(votes, backbone, min_depth=min_depth)
+    ins = merged[size_v:].reshape(-1, 4)           # (L*slots, 4)
+    cnt = jnp.max(ins, axis=1)
+    best = jnp.argmax(ins, axis=1).astype(I32)
+    col_of = jnp.arange(cnt.shape[0], dtype=I32) // ins_slots
+    need = jnp.maximum(min_depth, (depth + 1) // 2)
+    do = cnt >= need[col_of]
+    n = jnp.sum(do.astype(I32))
+    dest = jnp.where(do, jnp.cumsum(do.astype(I32)) - 1, cap)
+    packed_val = (jnp.arange(cnt.shape[0], dtype=I32) << 2) | best
+    packed = jnp.zeros((cap + 1,), I32).at[dest].set(
+        packed_val, mode="drop")[:cap]
+    return sym.astype(jnp.int8), n, packed
