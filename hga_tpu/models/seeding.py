@@ -86,7 +86,7 @@ def _minimizer_batch_fn(k: int, w: int):
     return f
 
 
-def _compact_batch_fn(k: int, w: int, full: bool = False):
+def _compact_batch_fn(k: int, w: int, row_bits: int, full: bool = False):
     """Minimizer selection + DEVICE compaction of the taken entries.
 
     The dense (B, n_win) minimizer planes must never cross to host: for
@@ -123,9 +123,13 @@ def _compact_batch_fn(k: int, w: int, full: bool = False):
         row = jax.lax.broadcasted_iota(jnp.int32, (B, n_win), 0)
         # pack (row, strand, pos) into ONE readback word — the compacted
         # entry readback is 3 words/entry instead of 5 (the tunnel reads
-        # back at ~3 MB/s, so long-pad extraction is readback-bound):
-        # row 12 bits (batch <= 4096) | strand 1 | pos 19 (pad < 512k)
-        meta = ((row << 20) | (mb.strand.astype(jnp.int32) << 19)
+        # back at ~3 MB/s, so long-pad extraction is readback-bound).
+        # Bit split is dynamic: row_bits = log2(B), pos gets 30 - row_bits
+        # — always enough because the slot budget bounds B * pad <= 2^24
+        # (megabase contig backbones at polish time get B = 8, pos 27 bits)
+        pos_bits = 30 - row_bits
+        meta = ((row << (pos_bits + 1))
+                | (mb.strand.astype(jnp.int32) << pos_bits)
                 | mb.pos.astype(jnp.int32))
         count = jnp.sum(flat.astype(jnp.int32))
         return (put(mb.hi), put(mb.lo), put(meta), count)
@@ -147,14 +151,18 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
     # small read sets (e.g. contig backbones) must not pad up to a huge
     # static batch; power-of-two rounding bounds the compiled shapes; the
     # slot budget bounds rows x windows for long pads
-    # the packed readback word allots 12 bits to the batch row and 19 to
-    # the position (see _compact_batch_fn)
-    assert pr.pad_len < (1 << 19), "pad_len exceeds the packed-meta budget"
     B = min(cfg.batch_reads, 4096,
             max(8, 1 << (max(1, len(idx)) - 1).bit_length()),
             max(8, 1 << max(0, (EXTRACT_SLOT_BUDGET // max(pr.pad_len, 1))
                             .bit_length() - 1)))
-    f = _compact_batch_fn(cfg.k, cfg.w)
+    row_bits = (B - 1).bit_length()
+    pos_bits = 30 - row_bits
+    # always satisfiable: the slot budget bounds B * pad (see
+    # _compact_batch_fn), but guard the raw-pad case where B was clamped
+    # by batch_reads rather than the budget
+    assert pr.pad_len <= (1 << pos_bits), (
+        f"pad_len {pr.pad_len} exceeds the packed-meta budget at B={B}")
+    f = _compact_batch_fn(cfg.k, cfg.w, row_bits)
     log.info("seeding: extracting minimizers for %d reads (batch %d)",
              len(idx), B)
 
@@ -186,7 +194,8 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
             log.warning("seeding: batch take count %d > cap %d — "
                         "re-running at full capacity", K_n, cap)
             if f_full is None:
-                f_full = _compact_batch_fn(cfg.k, cfg.w, full=True)
+                f_full = _compact_batch_fn(cfg.k, cfg.w, row_bits,
+                                           full=True)
             packed, bad, length = pr.packed[sel], pr.bad[sel], pr.length[sel]
             if packed.shape[0] < B:
                 padn = B - packed.shape[0]
@@ -202,13 +211,13 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
         Kp = min(cap, max(1 << 14, 1 << (K_n - 1).bit_length()))
         fetch = lambda x: np.asarray(x[:Kp])[:K_n]
         meta = fetch(meta_c)
-        rows = meta >> 20
+        rows = meta >> (pos_bits + 1)
         keep = rows < nb                  # padded rows produce no entries,
         # but guard anyway (their length is 0 so take is already False)
         his.append(fetch(hi_c)[keep])
         los.append(fetch(lo_c)[keep])
-        poss.append((meta & 0x7FFFF)[keep])
-        strands.append(((meta >> 19) & 1)[keep].astype(np.int32))
+        poss.append((meta & ((1 << pos_bits) - 1))[keep])
+        strands.append(((meta >> pos_bits) & 1)[keep].astype(np.int32))
         reads.append(sel[rows[keep]].astype(np.int32))
     cat = lambda xs, dt: (np.concatenate(xs).astype(dt) if xs else np.zeros(0, dt))
     return SeedEntries(
