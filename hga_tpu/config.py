@@ -116,6 +116,10 @@ class AssemblerConfig:
     # (they become the new backbones).  1 = single pass (default; covers
     # the dominant 1-3 base deletions), n restores up to 3n-base gaps.
     corr_passes: int = 1
+    # Same mechanism for contig polishing: pass 2 re-polishes the polished
+    # contigs, recovering >3-base indel runs and re-voting columns whose
+    # neighborhood changed in pass 1.
+    polish_passes: int = 1
 
     # --- orchestration (L6) ---
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices

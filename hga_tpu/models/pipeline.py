@@ -327,25 +327,34 @@ def run_pipeline(
     st.stats["overlaps"] = {"n": ov.n, **ov_timings}
 
     # --- stage: assembly (config 4) ---
-    t0 = time.perf_counter()
-    res = assemble(asm_reads, ov, cfg)
-    if main:
-        write_fasta(path("contigs.fasta"), res.contigs)
-        with open(path("assembly.gfa"), "w") as fh:
-            fh.write(res.to_gfa(asm_reads.names, asm_reads.length))
-    st.done("assembly", t0, inputs)
-    st.stats["assembly"] = {
-        "contigs": len(res.contigs),
-        "edges_raw": res.n_edges_raw,
-        "edges_reduced": res.n_edges_reduced,
-        "contained": res.n_contained,
-    }
+    if st.fresh("assembly", inputs) and os.path.exists(path("contigs.fasta")):
+        from hga_tpu.io.fastq import iter_records
+
+        contigs = [(r.name, r.seq) for r in iter_records(path("contigs.fasta"))]
+    else:
+        t0 = time.perf_counter()
+        res = assemble(asm_reads, ov, cfg)
+        contigs = res.contigs
+        if main:
+            write_fasta(path("contigs.fasta"), res.contigs)
+            with open(path("assembly.gfa"), "w") as fh:
+                fh.write(res.to_gfa(asm_reads.names, asm_reads.length))
+        st.done("assembly", t0, inputs)
+        st.stats["assembly"] = {
+            "contigs": len(res.contigs),
+            "edges_raw": res.n_edges_raw,
+            "edges_reduced": res.n_edges_reduced,
+            "contained": res.n_contained,
+        }
 
     # --- stage: polish (config 5b) ---
-    polished = res.contigs
-    if pr_short is not None and res.contigs:
+    polished = contigs
+    if pr_short is not None and contigs:
         t0 = time.perf_counter()
-        polished = polish_contigs(res.contigs, pr_short, cfg, mesh=mesh)
+        for p in range(max(1, cfg.polish_passes)):
+            if p:
+                log.info("polish pass %d/%d", p + 1, cfg.polish_passes)
+            polished = polish_contigs(polished, pr_short, cfg, mesh=mesh)
         if main:
             write_fasta(path("polished.fasta"), polished)
         st.done("polish", t0, inputs)
@@ -358,5 +367,5 @@ def run_pipeline(
     if main:
         with open(path("run_metrics.json"), "w") as fh:
             json.dump(st.stats, fh, indent=2)
-    return PipelineResult(contigs=res.contigs, polished=polished,
+    return PipelineResult(contigs=contigs, polished=polished,
                           stats=st.stats)
