@@ -67,7 +67,7 @@ def main():
     # the spectrum peak (round-3 verdict item 6).
     cfg = AssemblerConfig(k=15, w=5, band=64, batch_reads=4096,
                           min_shared_minimizers=2, min_overlap_len=500,
-                          min_identity=0.75,
+                          min_identity=0.75, polish_passes=2,
                           corr_batch_pairs=4096, min_contig_len=2000)
     t0 = time.perf_counter()
     res = run_pipeline(pr_s, pr_l, cfg, outdir, resume=True)
