@@ -52,6 +52,14 @@ class StringGraph:
 HANG_CAP = 250     # absolute cap on the length-scaled end-hang tolerance
 
 
+class _null_ctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 def build_string_graph(ov: OverlapRecords, n_reads: int,
                        cfg: AssemblerConfig) -> StringGraph:
     """Classify overlaps into containments/dovetails; emit doubled edges.
@@ -159,10 +167,25 @@ def reduce_graph(g: StringGraph, cfg: AssemblerConfig,
     ext = np.pad(g.ext, (0, pad))
     sc = np.pad(g.score, (0, pad))
     valid = np.pad(np.ones(g.u.shape[0], bool), (0, pad))
-    csr = G.build_csr(jnp.asarray(u), jnp.asarray(v), jnp.asarray(ext),
-                      jnp.asarray(sc), jnp.asarray(valid), g.n_nodes)
-    keep = G.transitive_reduction(csr, g.n_nodes,
-                                  max_out=cfg.max_out_degree, fuzz=fuzz)
+    # the graph is O(#reads) — thousands of edges, not millions.  On the
+    # tunneled backend a remote compile of the reduction program costs
+    # orders of magnitude more than the work (measured: an 18-minute
+    # assembly stage on a cache miss); pin this tiny program to the local
+    # CPU backend when one exists alongside an accelerator.
+    import jax as _jax
+
+    dev = None
+    try:
+        if _jax.local_devices()[0].platform != "cpu":
+            dev = _jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        dev = None
+    with (_jax.default_device(dev) if dev is not None
+          else _null_ctx()):
+        csr = G.build_csr(jnp.asarray(u), jnp.asarray(v), jnp.asarray(ext),
+                          jnp.asarray(sc), jnp.asarray(valid), g.n_nodes)
+        keep = G.transitive_reduction(csr, g.n_nodes,
+                                      max_out=cfg.max_out_degree, fuzz=fuzz)
     # map the (sorted) CSR keep mask back to g's edge order
     ku = np.asarray(csr.u)
     kv = np.asarray(csr.v)
