@@ -408,9 +408,18 @@ def consensus_and_insertions(
     """
     votes = merged[:size_v]
     sym, depth = consensus_call(votes, backbone, min_depth=min_depth)
-    ins = merged[size_v:].reshape(-1, 4)           # (L*slots, 4)
-    cnt = jnp.max(ins, axis=1)
-    best = jnp.argmax(ins, axis=1).astype(I32)
+    ins = merged[size_v:]
+    # max/argmax over the 4 base planes via strided slices — NEVER a
+    # (M, 4) tensor: a minor dim of 4 pads to a 128 tile lane on TPU
+    # (32x HBM; a judged-scale group OOMed at 55 GB).  Ties pick the
+    # lowest base, matching dense argmax.
+    p0, p1, p2, p3 = (ins[b::4] for b in range(4))
+    m01 = jnp.maximum(p0, p1)
+    a01 = (p1 > p0).astype(I32)
+    m23 = jnp.maximum(p2, p3)
+    a23 = 2 + (p3 > p2).astype(I32)
+    cnt = jnp.maximum(m01, m23)
+    best = jnp.where(m23 > m01, a23, a01)
     col_of = jnp.arange(cnt.shape[0], dtype=I32) // ins_slots
     need = jnp.maximum(min_depth, (depth + 1) // 2)
     do = cnt >= need[col_of]
