@@ -49,7 +49,10 @@ from hga_tpu.models.seeding import extract_seed_entries
 
 log = logging.getLogger(__name__)
 
-SEG = 384          # query bases per segment (W = 13 Myers words)
+SEG = 672          # query bases per segment (Lq_seg = SEG + 2k = 702 =
+# 23 Myers words, inside the Pallas 24-word register budget; fewer, larger
+# segments halve the chunk loop's host-side lexsort/gather/dispatch
+# overhead per aligned base at identical DP cell cost)
 SLACK = 32         # target window slack beyond the anchored span, per side
 
 # above this many combined minimizer entries the bounded device self-join
