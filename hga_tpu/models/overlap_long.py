@@ -49,10 +49,11 @@ from hga_tpu.models.seeding import extract_seed_entries
 
 log = logging.getLogger(__name__)
 
-SEG = 672          # query bases per segment (Lq_seg = SEG + 2k = 702 =
-# 23 Myers words, inside the Pallas 24-word register budget; fewer, larger
-# segments halve the chunk loop's host-side lexsort/gather/dispatch
-# overhead per aligned base at identical DP cell cost)
+SEG = 384          # query bases per segment (Lq_seg = 414 = 14 Myers words)
+# NOTE: raising SEG does NOT amortize — DP cells per aligned base equal
+# the window width Lq_seg + 2*SLACK, so larger segments cost MORE total
+# cells (SEG=672 measured ~40% slower per judged-scale chunk than 384);
+# the host-side per-segment overhead is minor by comparison.
 SLACK = 32         # target window slack beyond the anchored span, per side
 
 # above this many combined minimizer entries the bounded device self-join
