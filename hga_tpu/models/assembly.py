@@ -69,6 +69,16 @@ def build_string_graph(ov: OverlapRecords, n_reads: int,
     extensions subtract the admitted hang along the diagonal, so stitching
     coordinates stay exact regardless of the tolerance.
     """
+    if cfg.graph_min_identity > 0.0:
+        keep = ov.identity() >= cfg.graph_min_identity
+        if not keep.all():
+            log.info("graph identity floor %.3f: %d/%d overlaps kept",
+                     cfg.graph_min_identity, int(keep.sum()), ov.n)
+            import dataclasses as _dc
+
+            ov = OverlapRecords(**{
+                f.name: getattr(ov, f.name)[keep]
+                for f in _dc.fields(OverlapRecords)})
     a, b, rel = ov.a, ov.b, ov.rel
     la, lb = ov.a_len, ov.b_len
     hang = lambda L: np.maximum(

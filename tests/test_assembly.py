@@ -130,3 +130,29 @@ def test_gfa_has_link_records():
     parts = l_lines[0].split("\t")
     assert len(parts) == 6 and parts[5].endswith("M")
     assert int(parts[5][:-1]) > 0
+
+
+def test_graph_identity_floor_drops_weak_overlaps():
+    """cfg.graph_min_identity filters overlap records before graph build
+    (repeat-mode knob: cross-repeat-copy overlaps sit below corrected
+    same-locus overlap identity)."""
+    from hga_tpu.models.overlap import OverlapRecords
+
+    z = np.zeros(2, np.int32)
+    ov = OverlapRecords(
+        a=np.array([0, 1], np.int32), b=np.array([1, 2], np.int32),
+        rel=z.copy(), score=np.array([100, 100], np.int32),
+        a_start=np.array([500, 500], np.int32),
+        a_end=np.array([1000, 1000], np.int32),
+        b_start=z.copy(), b_end=np.array([500, 500], np.int32),
+        a_len=np.array([1000, 1000], np.int32),
+        b_len=np.array([1000, 1000], np.int32),
+        dist=np.array([1, 50], np.int32))   # identities 0.998, 0.9
+    from hga_tpu.models.assembly import build_string_graph
+    from hga_tpu.config import AssemblerConfig
+
+    cfg = AssemblerConfig(graph_min_identity=0.99)
+    g = build_string_graph(ov, 3, cfg)
+    reads_in_graph = {int(u) // 2 for u in g.u} | {int(v) // 2 for v in g.v}
+    assert 2 not in reads_in_graph          # the 0.9-identity edge dropped
+    assert {0, 1} <= reads_in_graph
