@@ -42,6 +42,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--solid-threshold", type=int, default=None)
     p.add_argument("--corr-engine", choices=["myers", "sw"], default=None,
                    help="correction DP engine (default myers)")
+    p.add_argument("--corr-passes", type=int, default=None,
+                   help="correction passes (pass n restores up to 3n-base "
+                        "deletion runs; default 1)")
+    p.add_argument("--polish-passes", type=int, default=None,
+                   help="contig polish passes (2 recommended; default 1)")
+    p.add_argument("--graph-min-identity", type=float, default=None,
+                   help="drop overlaps below this identity before graph "
+                        "build (repeat-mode knob, e.g. 0.985; default off)")
     p.add_argument("--use-quality", action="store_true", default=None,
                    help="quality-weighted consensus votes: keep the short "
                         "reads' FASTQ quality plane and weigh each pileup "
@@ -68,6 +76,9 @@ def _build_cfg(args) -> AssemblerConfig:
                         ("min_overlap_score", "min_overlap_score"),
                         ("solid_threshold", "solid_threshold"),
                         ("corr_engine", "corr_engine"),
+                        ("corr_passes", "corr_passes"),
+                        ("polish_passes", "polish_passes"),
+                        ("graph_min_identity", "graph_min_identity"),
                         ("use_quality", "use_quality")]:
         v = getattr(args, flag, None)
         if v is not None:
