@@ -378,9 +378,9 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
     from jax.sharding import PartitionSpec as P
 
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # pragma: no cover - newer jax
         from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     ndev = mesh.devices.size
     sharded_cache = {}
