@@ -49,7 +49,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="contig polish passes (2 recommended; default 1)")
     p.add_argument("--graph-min-identity", type=float, default=None,
                    help="drop overlaps below this identity before graph "
-                        "build (repeat-mode knob, e.g. 0.985; default off)")
+                        "build (repeat-mode knob, e.g. 0.985; default -1 = "
+                        "auto-fit the bimodal valley, 0 = off)")
     p.add_argument("--use-quality", action="store_true", default=None,
                    help="quality-weighted consensus votes: keep the short "
                         "reads' FASTQ quality plane and weigh each pileup "

@@ -54,13 +54,17 @@ class AssemblerConfig:
 
     # --- graph layer (L4) ---
     min_overlap_score: int = 40
-    # Graph-time overlap identity floor (0 = off).  The DP gate's
-    # min_identity must stay permissive (raw-read overlaps), but CORRECTED
-    # reads align at ~0.997+, while overlaps BETWEEN different copies of a
-    # 99%-identity repeat family sit near ~0.99 — a floor between the two
-    # keeps repeat-crossing edges out of the string graph without touching
-    # the alignment stage.
-    graph_min_identity: float = 0.0
+    # Graph-time overlap identity floor.  The DP gate's min_identity must
+    # stay permissive (raw-read overlaps), but CORRECTED reads align at
+    # ~0.997+, while overlaps BETWEEN different copies of a 99%-identity
+    # repeat family sit near ~0.99 — a floor between the two keeps
+    # repeat-crossing edges out of the string graph without touching the
+    # alignment stage.  < 0 = AUTO (default): fit the valley between the
+    # two modes of the overlap identity distribution when it is bimodal in
+    # the corrected-read range (models/assembly.derive_graph_identity_floor)
+    # — repeat-free runs are unimodal and get no floor.  0 = off; > 0 =
+    # explicit floor.
+    graph_min_identity: float = -1.0
     tip_max_len: int = 3           # tip clipping: max nodes in a clipped tip
     end_tol: int = 3               # bp floor when classifying dovetails
     # Length-aware end tolerance: an overlap's alignment may stop short of

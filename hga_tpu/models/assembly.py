@@ -51,6 +51,77 @@ class StringGraph:
 
 HANG_CAP = 250     # absolute cap on the length-scaled end-hang tolerance
 
+# auto identity-floor detection (config.graph_min_identity < 0): histogram
+# window/resolution and acceptance gates — see derive_graph_identity_floor
+FLOOR_HIST_LO = 0.95      # only the corrected-read identity range matters
+FLOOR_HIST_BINS = 100     # 0.0005 resolution over [0.95, 1.0]
+FLOOR_MIN_UPPER_MODE = 0.99   # upper mode must look like corrected reads
+FLOOR_MIN_MASS_FRAC = 0.01    # lower cluster >= 1% of in-window overlaps
+FLOOR_VALLEY_DROP = 0.5       # valley <= this x min(peak heights)
+
+
+def derive_graph_identity_floor(ov: OverlapRecords) -> float:
+    """Data-driven graph identity floor: the valley between the same-copy
+    (~0.997+) and cross-repeat-copy (~0.99) modes of the overlap identity
+    distribution (round-4 verdict item 2 — replaces the hand-set
+    --graph-min-identity 0.985 the repeat-bearing judged run needed).
+
+    Same pattern as the k-mer spectrum's solid threshold (utils/oracle
+    .solid_threshold_from_hist): smooth the histogram, find the two most
+    massive local maxima, and put the floor at the minimum between them.
+    Returns 0.0 (no floor) unless the distribution is convincingly bimodal
+    in the corrected-read range: the upper mode must sit >= 0.99 (corrected
+    reads; raw or short-read overlaps never trigger), the lower cluster
+    must hold >= 1% of the in-window overlaps, and the valley must dip to
+    <= half the smaller peak.  Repeat-free corrected runs are unimodal and
+    come out unchanged.
+    """
+    if ov.n == 0 or ov.dist is None:
+        return 0.0
+    ident = ov.identity()
+    in_win = ident >= FLOOR_HIST_LO
+    if int(in_win.sum()) < 64 or in_win.mean() < 0.5:
+        # corrected long-read overlaps concentrate >= 0.95; anything else
+        # (raw reads, short reads) is not what this floor is for
+        return 0.0
+    # short overlaps QUANTIZE identity (1 edit over an 80 bp span is a
+    # 0.0125 step), so a short-read assembly's discrete edit counts fake a
+    # bimodal histogram; the repeat valley only exists on multi-kb
+    # corrected-read overlaps where identity is quasi-continuous
+    span = np.maximum(ov.a_end - ov.a_start, ov.b_end - ov.b_start)
+    if float(np.median(span[in_win])) < 1000:
+        return 0.0
+    w = (1.0 - FLOOR_HIST_LO) / FLOOR_HIST_BINS
+    hist, edges = np.histogram(ident[in_win], bins=FLOOR_HIST_BINS,
+                               range=(FLOOR_HIST_LO, 1.0))
+    sm = hist.astype(np.float64)
+    sm[1:-1] = (hist[:-2] + hist[1:-1] + hist[2:]) / 3.0
+    # local maxima of the smoothed histogram (plateau-tolerant)
+    peaks = [i for i in range(FLOOR_HIST_BINS)
+             if (i == 0 or sm[i] > sm[i - 1])
+             and (i == FLOOR_HIST_BINS - 1 or sm[i] >= sm[i + 1])
+             and sm[i] > 0]
+    if len(peaks) < 2:
+        return 0.0
+    hi = max(peaks, key=lambda i: sm[i])          # dominant corrected mode
+    if edges[hi] < FLOOR_MIN_UPPER_MODE:
+        return 0.0
+    lower = [i for i in peaks if i < hi]
+    if not lower:
+        return 0.0
+    lo = max(lower, key=lambda i: sm[i])          # most massive lower mode
+    valley = lo + int(np.argmin(sm[lo : hi + 1]))
+    if sm[valley] > FLOOR_VALLEY_DROP * min(sm[lo], sm[hi]):
+        return 0.0
+    mass_low = float(hist[: valley + 1].sum())
+    if mass_low < FLOOR_MIN_MASS_FRAC * float(hist.sum()):
+        return 0.0
+    floor = float(edges[valley + 1])              # upper edge of valley bin
+    log.info("auto graph identity floor: %.4f (modes at %.4f / %.4f, "
+             "%d/%d overlaps below)", floor, edges[lo], edges[hi],
+             int((ident < floor).sum()), ov.n)
+    return floor
+
 
 class _null_ctx:
     def __enter__(self):
@@ -309,6 +380,9 @@ class AssemblyResult:
     n_edges_raw: int
     n_edges_reduced: int
     n_contained: int
+    # the graph identity floor actually applied (derived when
+    # cfg.graph_min_identity < 0, echoed verbatim otherwise)
+    identity_floor: float = 0.0
     # surviving string-graph edges as (u, v, overlap_len) oriented-node
     # triples — the GFA L records (SURVEY.md Appendix A "GFA1 optional")
     edges: List[Tuple[int, int, int]] = dataclasses.field(default_factory=list)
@@ -382,6 +456,9 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
     tip/bubble orphans otherwise duplicate already-assembled sequence
     (the reference's containment removal serves the same end, SURVEY.md
     C10; measured at 1 Mb scale this halves total contig length)."""
+    if cfg.graph_min_identity < 0:  # auto: fit the bimodal valley
+        cfg = cfg.replace(
+            graph_min_identity=derive_graph_identity_floor(ov))
     g = build_string_graph(ov, pr.n_reads, cfg)
     keep = reduce_graph(g, cfg, read_len=pr.length) if g.u.size else (
         np.zeros(0, bool))
@@ -451,5 +528,6 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
         n_edges_raw=int(g.u.size),
         n_edges_reduced=int(np.sum(keep)) if g.u.size else 0,
         n_contained=int(g.contained.sum()),
+        identity_floor=float(cfg.graph_min_identity),
         edges=l_edges,
     )

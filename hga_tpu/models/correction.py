@@ -353,9 +353,14 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
             max_ed = ((1.0 - cfg.min_identity) * ql).astype(jnp.int32)
             ok = (res.dist <= max_ed) & (ql > 0) & (res.tend > 0)
             qend_m = jnp.where(ok, ql, 0)
+            # path bound: gated rows walk <= qlen + dist <= Lq * (2 - id)
+            # steps — halves the lockstep traceback scan (see pileup.py)
+            Lq_ = q.shape[1]
+            steps = Lq_ + int((1.0 - cfg.min_identity) * Lq_) + 2
             return PU.accumulate_backbone_votes_myers(
                 merged0, pvp, mvp, res.dist, qend_m, res.tend, q, t, bb,
-                off, lb, qw, size_v=size_v, lpad=Lpad, ins_slots=ins_slots)
+                off, lb, qw, size_v=size_v, lpad=Lpad, ins_slots=ins_slots,
+                max_steps=steps)
         if qw is not None:
             raise ValueError(
                 "use_quality requires corr_engine='myers' (the production "
@@ -377,10 +382,7 @@ def _consensus_step_fn(cfg: AssemblerConfig, min_score: int, Wt: int,
 
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from hga_tpu.parallel.compat import shard_map
 
     ndev = mesh.devices.size
     sharded_cache = {}
@@ -696,11 +698,18 @@ def correct_long_reads(pr_short: PackedReads, pr_long: PackedReads,
     from hga_tpu.parallel import hostpart as HP
 
     out = pr_long
+    totals: dict = {}
     for p in range(max(1, cfg.corr_passes)):
         if p:
             log.info("correction pass %d/%d", p + 1, cfg.corr_passes)
         out = _correct_once(pr_short, out, cfg, max_cols,
                             suffix="_corr" if p == 0 else "", **kw)
+        # sum the wall-clock split across passes so LAST_TIMINGS reconciles
+        # with the whole correction stage, not just the final pass
+        for key, v in LAST_TIMINGS.items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                totals[key] = round(totals.get(key, 0) + v, 3)
+    LAST_TIMINGS.update(totals)
     return out
 
 

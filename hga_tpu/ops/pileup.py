@@ -224,7 +224,8 @@ def _plane_bit(words_pv, words_mv, i):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("size_v", "lpad", "ins_slots"),
+                   static_argnames=("size_v", "lpad", "ins_slots",
+                                    "max_steps"),
                    donate_argnums=(0,))
 def accumulate_backbone_votes_myers(
     merged: jax.Array,     # int32 (size_v + size_i,) FLAT — donated, updated
@@ -243,6 +244,7 @@ def accumulate_backbone_votes_myers(
     size_v: int,
     lpad: int,
     ins_slots: int = 3,
+    max_steps: Optional[int] = None,
 ) -> jax.Array:
     """Plane-based traceback + vote scatter: the Myers-engine replacement
     for accumulate_backbone_votes_merged (same vote semantics, same merged
@@ -261,10 +263,20 @@ def accumulate_backbone_votes_myers(
     materialized.  Precedence diag > up > left (deterministic gap
     placement, matching utils/oracle.hw_traceback_votes bit-for-bit).
     Traceback stops at i == 0 (free target prefix).
+
+    max_steps: optional static bound on the scan length.  The walk takes
+    #diag + #up <= qlen i-decrements and #left <= dist j-only-decrements
+    (every up/left move costs one edit), so the path never exceeds
+    qlen + dist.  Callers that gate rows on dist <= (1 - min_identity) *
+    qlen can therefore pass Lq + ceil((1 - min_identity) * Lq) + 1 and cut
+    the lockstep scan (the correction stage's binding constraint,
+    ROADMAP.md round-4 split) ~2x without changing a single vote.
     """
     Lt, P, W = pv_planes.shape
     Lq = q.shape[1]
     S = Lq + Lt
+    if max_steps is not None:
+        S = min(S, max_steps)
     size_all = merged.shape[0]
     pid = jnp.arange(P, dtype=I32)
     base_v = bb * (lpad * N_SYM)

@@ -23,10 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+from hga_tpu.parallel.compat import shard_map
 
 from hga_tpu.ops import count as C
 from hga_tpu.ops import kmer as K

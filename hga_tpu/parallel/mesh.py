@@ -76,10 +76,7 @@ def shard_batch_fn(mesh: Optional[Mesh], inner, n_in: int, out_axes):
     """
     if mesh is None or mesh.devices.size <= 1:
         return inner
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from hga_tpu.parallel.compat import shard_map
 
     ndev = mesh.devices.size
     if out_axes is None:

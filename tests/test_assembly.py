@@ -156,3 +156,52 @@ def test_graph_identity_floor_drops_weak_overlaps():
     reads_in_graph = {int(u) // 2 for u in g.u} | {int(v) // 2 for v in g.v}
     assert 2 not in reads_in_graph          # the 0.9-identity edge dropped
     assert {0, 1} <= reads_in_graph
+
+
+def _ident_records(idents, span=2000):
+    """OverlapRecords whose .identity() equals `idents` (span-scaled dist)."""
+    from hga_tpu.models.overlap import OverlapRecords
+
+    n = len(idents)
+    idents = np.asarray(idents, np.float64)
+    dist = np.round((1.0 - idents) * span).astype(np.int64)
+    z = np.zeros(n, np.int32)
+    return OverlapRecords(
+        a=np.arange(n, dtype=np.int32), b=np.arange(n, dtype=np.int32) + n,
+        rel=z, score=z + 100, a_start=z, a_end=z + span,
+        b_start=z, b_end=z + span, a_len=z + span, b_len=z + span,
+        dist=dist.astype(np.int32))
+
+
+def test_auto_identity_floor_bimodal():
+    """Two modes (cross-copy ~0.988, same-copy ~0.998) -> floor in valley."""
+    from hga_tpu.models.assembly import derive_graph_identity_floor
+
+    rng = np.random.default_rng(0)
+    same = np.clip(rng.normal(0.998, 0.0012, 4000), 0.95, 1.0)
+    cross = np.clip(rng.normal(0.988, 0.0012, 400), 0.95, 1.0)
+    ov = _ident_records(np.concatenate([same, cross]))
+    floor = derive_graph_identity_floor(ov)
+    assert 0.989 < floor < 0.997, floor
+    # the floor separates the clusters: cross below, same above
+    ident = ov.identity()
+    assert (ident[:4000] >= floor).mean() > 0.98
+    assert (ident[4000:] < floor).mean() > 0.95
+
+
+def test_auto_identity_floor_unimodal_off():
+    """Repeat-free corrected runs are unimodal -> no floor."""
+    from hga_tpu.models.assembly import derive_graph_identity_floor
+
+    rng = np.random.default_rng(1)
+    same = np.clip(rng.normal(0.997, 0.0015, 5000), 0.95, 1.0)
+    assert derive_graph_identity_floor(_ident_records(same)) == 0.0
+
+
+def test_auto_identity_floor_raw_reads_off():
+    """Raw-read overlaps (identity ~0.8) never trigger the floor."""
+    from hga_tpu.models.assembly import derive_graph_identity_floor
+
+    rng = np.random.default_rng(2)
+    raw = np.clip(rng.normal(0.82, 0.03, 5000), 0.0, 1.0)
+    assert derive_graph_identity_floor(_ident_records(raw)) == 0.0
