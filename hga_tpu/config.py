@@ -100,6 +100,17 @@ class AssemblerConfig:
     # candidates win WITHIN each bucket (a global top-N leaves spatial
     # pileup holes — see overlap_long.py).
     corr_depth_cap: int = 0
+    # Copy-aware correction (repeat resolution): a correction/polish
+    # candidate must share >= 1 RARE seed (combined occurrence <=
+    # corr_rare_seed_freq — single-locus frequency) with its backbone to
+    # vote where anchored depth exists; candidates connected only through
+    # seeds shared by 2-3 repeat copies (which slip under max_seed_freq)
+    # are the family-averaging mechanism and are dropped wherever >=
+    # corr_anchor_min anchored candidates cover the same positional bucket.
+    # -1 = AUTO: the pipeline derives ~1.8x the spectrum coverage peak
+    # (2-copy seeds sit at ~2x peak); 0 = off; > 0 = explicit cap.
+    corr_rare_seed_freq: int = -1
+    corr_anchor_min: int = 2
     # alignments per correction device batch (larger amortizes the lockstep
     # traceback scan; 4096 measured ~30% faster per-alignment than 1024)
     corr_batch_pairs: int = 1024

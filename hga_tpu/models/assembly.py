@@ -386,6 +386,11 @@ class AssemblyResult:
     # surviving string-graph edges as (u, v, overlap_len) oriented-node
     # triples — the GFA L records (SURVEY.md Appendix A "GFA1 optional")
     edges: List[Tuple[int, int, int]] = dataclasses.field(default_factory=list)
+    # per-contig circular flag (parallel to contigs): the unitig walk
+    # closed into a cycle — the sequence covers the chromosome exactly
+    # once (no duplicated origin) and the contig name carries a
+    # "_circular" suffix
+    circular: List[bool] = dataclasses.field(default_factory=list)
 
     def save_fasta(self, path: str) -> None:
         from hga_tpu.io.fastq import write_fasta
@@ -472,15 +477,56 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
     edges = clean_graph(g.n_nodes, edges, score_of,
                         tip_max_len=cfg.tip_max_len)
     paths = unitigs_from_edges(g.n_nodes, edges)
+    from collections import Counter
+
+    outdeg = Counter(u for u, _ in edges)
+    indeg = Counter(v for _, v in edges)
+
+    def _rot_min(t: Tuple[int, ...]) -> Tuple[int, ...]:
+        i = t.index(min(t))
+        return t[i:] + t[:i]
 
     codes = unpack_codes(pr.packed)
-    candidates: List[Tuple[List[int], np.ndarray]] = []
+    candidates: List[Tuple[List[int], np.ndarray, bool]] = []
     emitted_paths = set()
+    emitted_cycles = set()
     for path in sorted(paths, key=lambda p: p[0]):
         read0 = path[0] // 2
         if g.contained[read0] and len(path) == 1:
             continue
         comp = tuple(n ^ 1 for n in reversed(path))
+        # circular chromosome: the walk closed into a cycle (SURVEY.md
+        # Appendix A — E. coli is circular; the closing edge exists and
+        # every node is an unambiguous chain link).  The contig is the
+        # concatenation of each edge's extension around the cycle — the
+        # genome exactly once, no duplicated origin — rotated so the
+        # smallest oriented node starts (deterministic origin).
+        is_cycle = (len(path) >= 2 and (path[-1], path[0]) in ext_of
+                    and all(outdeg[n] == 1 and indeg[n] == 1 for n in path))
+        if is_cycle:
+            canon = min(_rot_min(tuple(path)), _rot_min(comp))
+            if canon in emitted_cycles:
+                continue
+            seq_parts = []
+            ok = True
+            prev = path[-1]
+            for v in path:
+                ext = ext_of.get((prev, v))
+                if ext is None:
+                    ok = False
+                    break
+                r = v // 2
+                s = _oriented_seq(codes[r], int(pr.length[r]), v % 2)
+                seq_parts.append(s[len(s) - ext:])
+                prev = v
+            if not ok:
+                continue
+            seq = np.concatenate(seq_parts)
+            if seq.size < cfg.min_contig_len:
+                continue
+            emitted_cycles.add(canon)
+            candidates.append((list(path), seq, True))
+            continue
         if tuple(path) > comp and comp in emitted_paths:
             continue
         seq_parts = [
@@ -500,7 +546,7 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
         if seq.size < cfg.min_contig_len:
             continue
         emitted_paths.add(tuple(path))
-        candidates.append((list(path), seq))
+        candidates.append((list(path), seq, False))
 
     # longest-first redundancy filter
     candidates.sort(key=lambda c: (-len(c[1]), c[0][0]))
@@ -508,7 +554,8 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
     in_out = np.zeros(pr.n_reads, bool)
     contigs: List[Tuple[str, str]] = []
     kept_paths: List[List[int]] = []
-    for path, seq in candidates:
+    kept_circ: List[bool] = []
+    for path, seq, circ in candidates:
         reads = [n // 2 for n in path]
         redundant = contigs and all(
             covf(r, int(pr.length[r]), in_out) >= cfg.redundant_cov
@@ -516,8 +563,10 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
         if redundant:
             continue
         in_out[reads] = True
-        contigs.append((f"contig_{len(contigs)}", decode_bases(seq)))
+        name = f"contig_{len(contigs)}" + ("_circular" if circ else "")
+        contigs.append((name, decode_bases(seq)))
         kept_paths.append(path)
+        kept_circ.append(circ)
 
     log.info("assembly: %d contigs (N=%s)", len(contigs),
              sorted((len(s) for _, s in contigs), reverse=True)[:5])
@@ -530,4 +579,5 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
         n_contained=int(g.contained.sum()),
         identity_floor=float(cfg.graph_min_identity),
         edges=l_edges,
+        circular=kept_circ,
     )

@@ -82,7 +82,9 @@ def find_candidates_cross(
 
         return find_candidates_cross_indexed(
             pr_a, pr_b, cfg, solid=solid, index=seed_index,
-            depth_cap=cfg.corr_depth_cap)
+            depth_cap=cfg.corr_depth_cap,
+            rare_cap=max(0, cfg.corr_rare_seed_freq),
+            anchor_min=cfg.corr_anchor_min)
     ea = extract_seed_entries(pr_a, cfg)
     eb = extract_seed_entries(pr_b, cfg)
     na = pr_a.n_reads

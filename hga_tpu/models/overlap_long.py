@@ -158,6 +158,8 @@ def find_candidates_cross_indexed(
     index: Optional[SeedIndex] = None,
     chunk_reads: int = 256,
     depth_cap: int = 0,
+    rare_cap: int = 0,
+    anchor_min: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Scalable cross candidates (same output contract as
     models.correction.find_candidates_cross): sorted short-read index,
@@ -171,6 +173,24 @@ def find_candidates_cross_indexed(
     per-backbone top-N clusters its picks and leaves pileup holes
     elsewhere on a multi-kb backbone (measured: cap 12 polished a 40 kb
     backbone to 0.93 k-mer identity; the positional cap reaches 1.0000).
+
+    rare_cap > 0 enables COPY-AWARE candidate filtering, the repeat-
+    resolution mechanism (ROADMAP round-4: correction family-averaged
+    repeat copies).  A candidate is ANCHORED when >= 1 of its shared seeds
+    has combined occurrence <= rare_cap (single-locus frequency: the seed
+    pins the read to one genome locus — a copy-distinguishing flank or a
+    k-mer over a copy's own divergent site).  Seeds shared by 2-3 repeat
+    copies slip under max_seed_freq (7-copy family seeds are masked, but a
+    k-mer on which only 2 copies agree occurs at ~2x coverage) and connect
+    reads CROSS-copy; such candidates carry no rare seed.  The filter
+    drops ambiguous (un-anchored) candidates exactly where anchored depth
+    exists (>= anchor_min anchored candidates in the same positional
+    bucket): at every copy-distinguishing position, same-copy reads are
+    anchored there by the divergent site itself, so the cross-copy votes
+    that would average the family are dropped; in locally-identical
+    stretches no anchors exist and ambiguous candidates are kept — their
+    votes are harmless (the copies agree wherever such a read spans).
+    Anchored candidates also win depth-cap slots first.
     """
     idx = index or build_seed_index(pr_a, cfg, solid=solid)
     eb = extract_seed_entries(pr_b, cfg)
@@ -194,12 +214,13 @@ def find_candidates_cross_indexed(
     freq_b = np.empty(sb.size, np.int64)
     freq_b[ob] = np.bincount(brun, minlength=max(1, int(brun[-1]) + 1
                                                  if sb.size else 1))[brun]
-    total = freq + freq_b
-    take_all = np.where(total > cfg.max_seed_freq, 0, freq)
+    comb = freq + freq_b
+    take_all = np.where(comb > cfg.max_seed_freq, 0, freq)
     k = cfg.k
     mean_la = float(pr_a.length.mean()) if pr_a.n_reads else 1.0
 
     outs_a, outs_b, outs_rel, outs_diag = [], [], [], []
+    n_amb_dropped = 0
     for b_lo in range(0, pr_b.n_reads, chunk_reads):
         b_hi = min(pr_b.n_reads, b_lo + chunk_reads)
         m = (eb.read >= b_lo) & (eb.read < b_hi)
@@ -218,6 +239,7 @@ def find_candidates_cross_indexed(
         lb = pr_b.length[b].astype(np.int64)
         pb_adj = np.where(rel == 1, lb - k - pb, pb)
         diag = pa - pb_adj
+        rare = (comb[m][eidx] <= rare_cap) if rare_cap > 0 else None
         # aggregate per (a, b, rel): shared count + median diagonal
         order = _argsort_keys(diag, rel, b, a)
         a, b, rel, diag = a[order], b[order], rel[order], diag[order]
@@ -232,21 +254,39 @@ def find_candidates_cross_indexed(
         grel = rel[g_first][keep]
         gdiag = diag[med][keep]
         gcnt = g_len[keep]
-        if depth_cap > 0 and ga.size:
+        ganch = None
+        if rare is not None:
+            ganch = np.add.reduceat(
+                rare[order].astype(np.int64), g_first)[keep] > 0
+        if (depth_cap > 0 or ganch is not None) and ga.size:
             # backbone position the read lands on (the same frame algebra
             # consensus_backbones uses for its window offset)
             glb = pr_b.length[gb].astype(np.int64)
             gla = pr_a.length[ga].astype(np.int64)
             pos = np.where(grel == 1, gdiag + glb - gla, -gdiag)
             bucket = np.clip(pos, 0, None) // max(int(mean_la), 1)
-            o2 = _argsort_keys(-gcnt, bucket, gb)
+            if ganch is None:
+                o2 = _argsort_keys(-gcnt, bucket, gb)
+            else:  # anchored candidates win depth-cap slots first
+                o2 = _argsort_keys(-gcnt, (~ganch).astype(np.int64),
+                                   bucket, gb)
             bnew = np.ones(o2.shape[0], bool)
             bnew[1:] = ((gb[o2][1:] != gb[o2][:-1])
                         | (bucket[o2][1:] != bucket[o2][:-1]))
             first = np.nonzero(bnew)[0]
-            rank = np.arange(o2.shape[0]) - np.repeat(
-                first, np.diff(np.append(first, o2.shape[0])))
-            sel = o2[rank < depth_cap]
+            seg_len = np.diff(np.append(first, o2.shape[0]))
+            rank = np.arange(o2.shape[0]) - np.repeat(first, seg_len)
+            keep_sel = (rank < depth_cap if depth_cap > 0
+                        else np.ones(o2.shape[0], bool))
+            if ganch is not None:
+                # per-bucket anchored count; ambiguous candidates survive
+                # only in buckets without anchored depth (see docstring)
+                A = np.repeat(np.add.reduceat(
+                    ganch[o2].astype(np.int64), first), seg_len)
+                amb_drop = ~ganch[o2] & (A >= anchor_min)
+                n_amb_dropped += int((keep_sel & amb_drop).sum())
+                keep_sel &= ~amb_drop
+            sel = o2[keep_sel]
             ga, gb, grel, gdiag = ga[sel], gb[sel], grel[sel], gdiag[sel]
         outs_a.append(ga)
         outs_b.append(gb)
@@ -256,7 +296,12 @@ def find_candidates_cross_indexed(
     cat = lambda xs, dt: (np.concatenate(xs).astype(dt) if xs
                           else np.zeros(0, dt))
     a = cat(outs_a, np.int32)
-    log.info("cross-indexed: %d candidate pairs", a.size)
+    if rare_cap > 0:
+        log.info("cross-indexed: %d candidate pairs (%d ambiguous dropped "
+                 "by copy-aware filter, rare_cap=%d)", a.size,
+                 n_amb_dropped, rare_cap)
+    else:
+        log.info("cross-indexed: %d candidate pairs", a.size)
     return (a, cat(outs_b, np.int32), cat(outs_rel, np.int32),
             cat(outs_diag, np.int32))
 

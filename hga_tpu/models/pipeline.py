@@ -255,6 +255,17 @@ def run_pipeline(
                 log.info("deriving corr_depth_cap %d (coverage peak %d)",
                          dcap, peak)
                 cfg_corr = cfg.replace(corr_depth_cap=dcap)
+            # copy-aware candidate filter (repeat resolution): rare =
+            # single-locus seed frequency; seeds shared by >= 2 repeat
+            # copies occur at >= 2x the coverage peak, so 1.8x separates
+            # them (Poisson(peak) mass above 1.8*peak is negligible)
+            if cfg.corr_rare_seed_freq < 0:
+                rcap = int(np.ceil(1.8 * peak))
+                log.info("deriving corr_rare_seed_freq %d "
+                         "(coverage peak %d)", rcap, peak)
+                cfg = cfg.replace(corr_rare_seed_freq=rcap)
+                cfg_corr = (cfg_corr or cfg).replace(
+                    corr_rare_seed_freq=rcap)
 
     solid = spec.solid_set() if spec is not None else None
     if cfg_corr is None:

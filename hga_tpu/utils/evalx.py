@@ -52,16 +52,23 @@ def _kmers_u64(seq: str, k: int, canonical: bool) -> np.ndarray:
 
 
 def evaluate_contigs(contigs: List[Tuple[str, str]], reference: str,
-                     k: int = 21) -> Dict[str, float]:
+                     k: int = 21, circular: bool = False) -> Dict[str, float]:
     """Alignment-free evaluation: k-mer precision/recall vs the reference.
 
     identity  — fraction of contig k-mers present in the reference (strand
                 agnostic): measures base accuracy + chimera-freeness.
     genome_fraction — fraction of reference k-mers covered by contigs.
 
+    circular=True treats the reference as a circle: the k-1 origin-spanning
+    k-mers join the reference set, so a correctly-assembled circular contig
+    (an arbitrary rotation of the reference) scores identity 1.0 instead of
+    being docked for the k-mers that cross the reference's linear seam.
+
     Vectorized over sorted uint64 canonical k-mer arrays (the Python
     set-of-strings version cost minutes of host time at 4.6 Mb).
     """
+    if circular and len(reference) > k:
+        reference = reference + reference[: k - 1]
     lengths = [len(s) for _, s in contigs]
     ref_canon = np.unique(_kmers_u64(reference, k, canonical=True))
     hit = 0

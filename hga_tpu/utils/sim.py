@@ -30,6 +30,20 @@ def random_genome(length: int, seed: int = 0, gc: float = 0.5) -> str:
     return decode_bases(codes.astype(np.uint8))
 
 
+@dataclasses.dataclass
+class RepeatCopy:
+    """Truth annotation for one placed repeat copy (diagnostics/tests)."""
+
+    family: str            # e.g. "rrna", "is0", "tandem0"
+    start: int             # genome interval [start, end)
+    end: int
+    strand: int            # 1 = placed reverse-complemented
+    # genome-frame positions where THIS copy differs from the family master
+    # (its copy-distinguishing sites)
+    mut_pos: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64))
+
+
 def repeat_genome(
     length: int,
     seed: int = 0,
@@ -44,7 +58,8 @@ def repeat_genome(
     tandem_loci: int = 2,
     tandem_unit: int = 350,
     tandem_copies: int = 6,
-) -> str:
+    return_annotation: bool = False,
+):
     """Random genome with bacterial-style repeat structure (SURVEY.md
     Appendix A test-data row: *E. coli* K-12 carries 7 near-identical ~5 kb
     rRNA operons, tens of ~1.2 kb IS elements in families at 95-100%
@@ -55,6 +70,11 @@ def repeat_genome(
     copy is the master mutated to the family identity, placed at a uniform
     position on a random strand, copies kept non-overlapping (rejection
     sampled).  Deterministic in `seed`.
+
+    return_annotation=True returns (genome, [RepeatCopy, ...]) — the truth
+    labels diagnostics and tests use to classify reads/candidates by origin
+    copy and to probe copy-distinguishing sites (the randomness stream is
+    identical either way).
     """
     rng = np.random.default_rng(seed)
     p_at = (1.0 - gc) / 2
@@ -62,6 +82,7 @@ def repeat_genome(
     g = rng.choice(4, size=length, p=[p_at, p_gc, p_gc, p_at]).astype(np.uint8)
 
     placed: List[Tuple[int, int]] = []
+    annot: List[RepeatCopy] = []
 
     def _place(L: int) -> int:
         for _ in range(200):
@@ -71,7 +92,7 @@ def repeat_genome(
                 return s
         return -1                      # genome too crowded: skip this copy
 
-    def _family(n_copies: int, L: int, ident: float) -> None:
+    def _family(name: str, n_copies: int, L: int, ident: float) -> None:
         master = rng.integers(0, 4, size=L).astype(np.uint8)
         for _ in range(n_copies):
             s = _place(L)
@@ -79,24 +100,36 @@ def repeat_genome(
                 continue
             copy = master.copy()
             nmut = rng.binomial(L, max(0.0, 1.0 - ident))
+            pos = np.zeros(0, np.int64)
             if nmut:
+                # draw order matches the unannotated historical stream
+                # exactly (mutate with the raw draw, sort only for the
+                # annotation) so the genome is byte-identical either way
                 pos = rng.choice(L, size=nmut, replace=False)
                 _mutate_sub(copy, pos, rng)
-            if rng.integers(0, 2):
+                pos = np.sort(pos)
+            strand = int(rng.integers(0, 2))
+            if strand:
                 copy = (3 - copy)[::-1]            # reverse-complement copy
+                pos = L - 1 - pos[::-1]
             g[s : s + L] = copy
+            annot.append(RepeatCopy(family=name, start=s, end=s + L,
+                                    strand=strand, mut_pos=s + pos))
 
-    _family(rrna_copies, min(rrna_len, length // 4), rrna_ident)
-    for _ in range(is_families):
-        _family(is_copies, min(is_len, length // 8), is_ident)
-    for _ in range(tandem_loci):
+    _family("rrna", rrna_copies, min(rrna_len, length // 4), rrna_ident)
+    for fi in range(is_families):
+        _family(f"is{fi}", is_copies, min(is_len, length // 8), is_ident)
+    for ti in range(tandem_loci):
         unit = rng.integers(0, 4, size=tandem_unit).astype(np.uint8)
         L = tandem_unit * tandem_copies
         s = _place(min(L, length // 8))
         if s >= 0:
             arr = np.tile(unit, tandem_copies)[: min(L, length // 8)]
             g[s : s + arr.size] = arr
-    return decode_bases(g)
+            annot.append(RepeatCopy(family=f"tandem{ti}", start=s,
+                                    end=s + arr.size, strand=0))
+    seq = decode_bases(g)
+    return (seq, annot) if return_annotation else seq
 
 
 def _mutate_sub(codes: np.ndarray, pos: np.ndarray, rng) -> None:
@@ -112,8 +145,13 @@ def simulate_short_reads(
     return_quals: bool = False,
     q_good: int = 38,
     q_err: int = 10,
+    circular: bool = False,
 ):
     """Illumina-like reads. Returns (seqs, names); name encodes truth locus.
+
+    circular=True samples start positions uniformly over the whole circle —
+    reads may span the origin of a circular chromosome (matching the long
+    reads' flag), so junction coverage equals interior coverage.
 
     return_quals=True additionally returns phred+33 quality strings — q_good
     everywhere, q_err at the injected error positions (the usual Illumina
@@ -130,11 +168,15 @@ def simulate_short_reads(
     seqs: List[str] = []
     names: List[str] = []
     quals: List[str] = []
-    starts = rng.integers(0, max(1, G - read_len + 1), size=n_reads)
+    starts = rng.integers(0, G if circular else max(1, G - read_len + 1),
+                          size=n_reads)
     strands = rng.integers(0, 2, size=n_reads)
     for i in range(n_reads):
         s = int(starts[i])
-        codes = gcodes[s : s + read_len].copy()
+        if circular:
+            codes = gcodes[np.arange(s, s + read_len) % G].copy()
+        else:
+            codes = gcodes[s : s + read_len].copy()
         nerr = rng.binomial(read_len, error_rate)
         pos = None
         if nerr:
