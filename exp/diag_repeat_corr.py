@@ -65,20 +65,26 @@ def classify(cands, pr_s, pr_l, s_truth, l_truth, annot, tol=300):
     return mis, in_rep, fam
 
 
-def probe_sites(genome, annot, corrected_text, k=21):
+def probe_sites(genome, annot, texts, l_truth, k=21):
     """Per copy-distinguishing site: own-variant vs master-variant k-mer
-    occurrence counts in the corrected reads."""
+    occurrence counts — counted ONLY inside corrected reads whose TRUTH
+    span overlaps that copy's interval (master k-mers legitimately occur
+    in other copies' reads, so a global count always favors master)."""
     from hga_tpu.io.encode import revcomp_str
 
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     fams = {}
     for c in annot:
         fams.setdefault(c.family, []).append(c)
+    rs = l_truth[:, 0]
+    rl = np.array([len(t) for t in texts], np.int64)
     own_kept = master_won = both = neither = 0
     for fam, copies in fams.items():
         if fam.startswith("tandem") or len(copies) < 2:
             continue
         for c in copies:
+            sel = np.nonzero((rs < c.end) & (rs + rl > c.start))[0]
+            sub = "\n".join(texts[i] for i in sel)
             for p in c.mut_pos:
                 p = int(p)
                 if p - k // 2 < 0 or p + k // 2 + 1 > len(genome):
@@ -102,10 +108,8 @@ def probe_sites(genome, annot, corrected_text, k=21):
                     continue        # other copies agree with this one here
                 own = genome[p - k // 2 : p + k // 2 + 1]
                 mas = own[: k // 2] + mb + own[k // 2 + 1 :]
-                n_own = (corrected_text.count(own)
-                         + corrected_text.count(revcomp_str(own)))
-                n_mas = (corrected_text.count(mas)
-                         + corrected_text.count(revcomp_str(mas)))
+                n_own = sub.count(own) + sub.count(revcomp_str(own))
+                n_mas = sub.count(mas) + sub.count(revcomp_str(mas))
                 if n_own > n_mas:
                     own_kept += 1
                 elif n_mas > n_own:
@@ -183,6 +187,10 @@ def main():
 
     if not do_correct:
         return
+    # calibration: raw (uncorrected) reads keep the own variant weakly
+    # (21-mer survival ~0.9^21 = 11%/read) and near-zero master signal
+    res = probe_sites(genome, annot, ls, l_truth)
+    print(f"[raw reads] copy-distinguishing sites: {res}", flush=True)
     for label, rcap in (("corr OFF", 0), ("corr ON",
                                           cfg.corr_rare_seed_freq)):
         t0 = time.perf_counter()
@@ -194,8 +202,7 @@ def main():
         codes = unpack_codes(corr.packed)
         for i in range(corr.n_reads):
             texts.append(decode_bases(codes[i, : corr.length[i]]))
-        text = "\n".join(texts)
-        res = probe_sites(genome, annot, text)
+        res = probe_sites(genome, annot, texts, l_truth)
         print(f"[{label}] corrected in {time.perf_counter()-t0:.0f}s; "
               f"copy-distinguishing sites: {res}", flush=True)
 

@@ -35,6 +35,7 @@ SURVEY.md §8.3/ROADMAP.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Dict, Optional, Tuple
@@ -439,6 +440,75 @@ def _anchors_for_chunk(q_lo: int, q_hi: int,
 REP_DIAG_TOL_FRAC = 0.1   # allowed rep drift from the group median diagonal
 REP_DIAG_TOL_MIN = 256    # ... floored (bases)
 
+# test hook: force host-side window materialization (the oracle path the
+# device prep is asserted byte-identical against)
+_FORCE_HOST_PREP = False
+
+# one-slot device cache for the (large, call-invariant) packed long-read
+# plane: segment batches gather their DP windows on device from it, so a
+# batch ships seven int32 id vectors (~112 KB) instead of materialized
+# (P, Lq_seg) + (P, Wt_seg) code windows (~3.7 MB) — the same host->device
+# economics as correction's _prep_fn (models/correction.py, round 4)
+_DEV_SEG_CACHE: dict = {"key": None, "vals": None}
+
+
+def _device_seg_reads(pr: PackedReads):
+    if _DEV_SEG_CACHE["key"] is pr.packed:
+        return _DEV_SEG_CACHE["vals"]
+    vals = (jnp.asarray(pr.packed).reshape(-1),
+            jnp.asarray(pr.length.astype(np.int32)),
+            int(pr.packed.shape[1]))
+    _DEV_SEG_CACHE.update(key=pr.packed, vals=vals)
+    return vals
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_prep_fn(k: int):
+    """Jitted on-device segment-window prep: segment ids in, DP operands
+    out.  Replicates _align_chains' host window math exactly — query gather
+    in [q0, q0+seglen), oriented (revcomp when rel=1) target window from
+    t0 - SLACK, and the head-segment reversal folded into the gather
+    indices — but reads 2-bit codes straight from the DEVICE-RESIDENT
+    packed plane, so nothing but ids crosses the tunnel per batch."""
+    import jax
+
+    Lq_seg = SEG + 2 * k
+    Wt_seg = Lq_seg + 2 * SLACK
+
+    @functools.partial(jax.jit, static_argnames=("wwords",))
+    def prep(packed_flat, rlen, qid, tid, relv, q0, seglen, t0, kindv,
+             wwords):
+        la = rlen[qid]
+        lb = rlen[tid]
+        xs = jnp.arange(Lq_seg, dtype=jnp.int32)[None, :]
+        head = (kindv == 1)[:, None]
+        # head segments align REVERSED (free target start -> free end):
+        # emit position seglen-1-x instead of materialize-then-reverse
+        qi = q0[:, None] + jnp.where(head, seglen[:, None] - 1 - xs, xs)
+        wq = packed_flat[qid[:, None] * wwords
+                         + jnp.clip(qi >> 4, 0, wwords - 1)]
+        qc = (wq >> (2 * (qi & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+        q_ok = (xs < seglen[:, None]) & (qi >= 0) & (qi < la[:, None])
+        qwin = jnp.where(q_ok, qc.astype(jnp.int32),
+                         SENT_BASE).astype(jnp.int8)
+
+        twin_len = jnp.minimum(seglen + 2 * SLACK, Wt_seg)
+        t_or0 = t0 - SLACK
+        ys = jnp.arange(Wt_seg, dtype=jnp.int32)[None, :]
+        wy = jnp.where(head, twin_len[:, None] - 1 - ys, ys)
+        tpos = t_or0[:, None] + wy
+        pos = jnp.where((relv == 1)[:, None], lb[:, None] - 1 - tpos, tpos)
+        valid = (pos >= 0) & (pos < lb[:, None]) & (wy >= 0)
+        wt = packed_flat[tid[:, None] * wwords
+                         + jnp.clip(pos >> 4, 0, wwords - 1)]
+        tc = ((wt >> (2 * (pos & 15)).astype(jnp.uint32))
+              & jnp.uint32(3)).astype(jnp.int32)
+        tc = jnp.where((relv == 1)[:, None], 3 - tc, tc)
+        t_or = jnp.where(valid, tc, SENT_BASE).astype(jnp.int8)
+        return qwin, t_or
+
+    return prep
+
 
 def _chain_representatives(q, t, rel, pos_q, pos_t, min_shared: int):
     """Group anchors per (q, t, rel); pick the diagonal-median anchor per
@@ -520,8 +590,14 @@ def compute_overlaps_long(
     from hga_tpu.parallel import hostpart as HP
 
     partition = edit_fn is None and HP.nproc() > 1
-    edit = edit_fn or default_edit(
-        cfg, HP.local_mesh(mesh) if partition else mesh)
+    lm = HP.local_mesh(mesh) if partition else mesh
+    edit = edit_fn or default_edit(cfg, lm)
+    # single-device: segment windows are gathered ON DEVICE from the
+    # resident packed plane (_seg_prep_fn); the mesh path keeps host prep
+    # (its DP operands shard over 'data' from host)
+    dev_prep = (not _FORCE_HOST_PREP
+                and (lm is None
+                     or getattr(lm, "devices", np.empty(1)).size <= 1))
     k = cfg.k
     n = pr.n_reads
     read_len = pr.length.astype(np.int64)
@@ -546,10 +622,16 @@ def compute_overlaps_long(
     ent_run = np.empty(srt_key.shape[0], np.int64)
     ent_run[order] = run_id_sorted                # run id per ORIGINAL entry
 
-    codes = unpack_codes(pr.packed).astype(np.int32)
-    Lpad = codes.shape[1]
-    codes[np.arange(Lpad)[None, :] >= pr.length[:, None]] = SENT_BASE
+    codes = None
+    dev = None
+    if dev_prep:
+        dev = _device_seg_reads(pr)
+    else:  # host window path materializes the unpacked plane
+        codes = unpack_codes(pr.packed).astype(np.int32)
+        codes[np.arange(codes.shape[1])[None, :]
+              >= pr.length[:, None]] = SENT_BASE
     tm["index_s"] = time.perf_counter() - t0
+    tm["dev_prep"] = dev_prep
 
     out = {f: [] for f in ("a", "b", "rel", "score", "a_start", "a_end",
                            "b_start", "b_end", "dist")}
@@ -581,7 +663,8 @@ def compute_overlaps_long(
         if rq.size == 0:
             continue
         res = _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes,
-                            read_len, cfg, edit, k, seg_batch, tm=tm)
+                            read_len, cfg, edit, k, seg_batch, tm=tm,
+                            dev=dev)
         for f in out:
             out[f].append(res[f])
 
@@ -604,7 +687,8 @@ ANCHOR_DENSITY_FLOOR = 500   # min 1 shared anchor per this many span bases
 
 
 def _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes, read_len, cfg,
-                  edit, k: int, seg_batch: int, tm: Optional[dict] = None):
+                  edit, k: int, seg_batch: int, tm: Optional[dict] = None,
+                  dev=None):
     """Cut each chain into segments, run batched Myers, aggregate per pair."""
     if tm is None:
         tm = {}
@@ -732,7 +816,7 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes, read_len, cfg,
     q_of_pair = rq[g_first]
     t_of_pair = rt[g_first]
 
-    Lpad = codes.shape[1]
+    Lpad = codes.shape[1] if codes is not None else 0
     for s in range(0, n_seg, seg_batch):
         t_w0 = time.perf_counter()
         sl = slice(s, min(n_seg, s + seg_batch))
@@ -750,6 +834,34 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes, read_len, cfg,
         relv = rel_of_pair[pv]
         lbv = read_len[tid]
         seglen = np.where(np.arange(P) < nbv, q1v - q0v, 0).astype(np.int64)
+        head = kindv == 1
+        t_or0 = t0v - SLACK
+        twin_len = np.minimum(seglen + 2 * SLACK, Wt_seg)
+
+        if dev is not None:
+            # on-device window gather from the resident packed plane:
+            # only the seven id vectors cross host->device
+            packed_flat, rlen_dev, wwords = dev
+            prep = _seg_prep_fn(k)
+            i32 = lambda x: jnp.asarray(np.ascontiguousarray(
+                x.astype(np.int32)))
+            t_dp0 = time.perf_counter()
+            tm["segprep_s"] = tm.get("segprep_s", 0.0) + t_dp0 - t_w0
+            tm["bytes_up"] = tm.get("bytes_up", 0) + 7 * 4 * P
+            qwin_d, t_or_d = prep(packed_flat, rlen_dev, i32(qid), i32(tid),
+                                  i32(relv), i32(q0v), i32(seglen),
+                                  i32(t0v), i32(kindv), wwords)
+            r = edit(qwin_d, t_or_d, i32(seglen), i32(twin_len))
+            dist = np.asarray(r.dist).astype(np.int64)[:nbv]
+            tend = np.asarray(r.tend).astype(np.int64)[:nbv]
+            tm["dp_s"] = tm.get("dp_s", 0.0) + time.perf_counter() - t_dp0
+            pb = p
+            np.add.at(dist_sum, pb, dist)
+            hb = head[:nbv]
+            tb = kindv[:nbv] == 2
+            t_end[pb[tb]] = (t_or0[:nbv][tb]) + tend[tb]
+            t_begin[pb[hb]] = (t_or0[:nbv][hb] + twin_len[:nbv][hb]) - tend[hb]
+            continue
 
         # query window [q0, q1)
         xs = np.arange(Lq_seg)[None, :]
@@ -758,13 +870,10 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes, read_len, cfg,
                         _take2(codes, qid, np.clip(qidx, 0, Lpad - 1)),
                         SENT_BASE).astype(np.int32)
         # oriented target window starting at t0 - SLACK
-        t_or0 = t0v - SLACK
         tpos = np.arange(Wt_seg)[None, :] + t_or0[:, None]
         t_or = _oriented_take(codes, tid, relv, lbv, tpos, Lpad)
         # reversed alignment for head segments: exact start coordinate
-        head = kindv == 1
         qwin = np.where(head[:, None], _rev_rows(qwin, seglen), qwin)
-        twin_len = np.minimum(seglen + 2 * SLACK, Wt_seg)
         t_or = np.where(head[:, None],
                         _rev_rows(t_or, twin_len), t_or)
         t_dp0 = time.perf_counter()

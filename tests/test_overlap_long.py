@@ -156,3 +156,40 @@ def test_outlier_anchor_does_not_inflate_span():
 
     gph = build_string_graph(ov, 2, cfg)
     assert not gph.contained.any()
+
+
+def test_device_prep_matches_host_prep(long_reads):
+    """On-device segment-window gather (_seg_prep_fn) produces BYTE-
+    identical overlap records to the host materialization it replaced."""
+    import dataclasses
+
+    from hga_tpu.models import overlap_long as OL
+
+    genome, pr, names, seqs = long_reads
+    cfg = AssemblerConfig(k=15, w=8, min_shared_minimizers=3,
+                          min_overlap_len=500, min_identity=0.8)
+    ov_dev = compute_overlaps_long(pr, cfg)
+    assert OL.LAST_TIMINGS.get("dev_prep") is True
+    OL._FORCE_HOST_PREP = True
+    try:
+        ov_host = compute_overlaps_long(pr, cfg)
+    finally:
+        OL._FORCE_HOST_PREP = False
+    assert OL.LAST_TIMINGS.get("dev_prep") is False
+    for f in dataclasses.fields(ov_dev):
+        np.testing.assert_array_equal(getattr(ov_dev, f.name),
+                                      getattr(ov_host, f.name), err_msg=f.name)
+
+
+def test_overlap_long_publishes_timing_split(long_reads):
+    from hga_tpu.models import overlap_long as OL
+
+    genome, pr, names, seqs = long_reads
+    cfg = AssemblerConfig(k=15, w=8, min_shared_minimizers=3,
+                          min_overlap_len=500, min_identity=0.8)
+    compute_overlaps_long(pr, cfg)
+    tm = OL.LAST_TIMINGS
+    for key in ("index_s", "anchor_s", "chain_s", "segprep_s", "dp_s",
+                "n_anchors", "n_pairs", "n_segments", "bytes_up"):
+        assert key in tm, key
+    assert tm["n_segments"] > 0 and tm["dp_s"] > 0
