@@ -205,6 +205,37 @@ def main():
         res = probe_sites(genome, annot, texts, l_truth)
         print(f"[{label}] corrected in {time.perf_counter()-t0:.0f}s; "
               f"copy-distinguishing sites: {res}", flush=True)
+        rid = residual_identity(genome, annot, texts, l_truth)
+        print(f"[{label}] corrected-read k-mer identity vs own locus: "
+              f"{rid}", flush=True)
+
+
+def residual_identity(genome, annot, texts, l_truth, k=21):
+    """Per corrected read: fraction of its k-mers found in its TRUE genome
+    locus (name-encoded) — the direct predictor of same-copy overlap
+    identity.  Split by whether the read span intersects a repeat copy."""
+    from hga_tpu.utils.evalx import _kmers_u64
+
+    vals_rep, vals_uni = [], []
+    G = len(genome)
+    for i, t in enumerate(texts):
+        if len(t) < k + 10:
+            continue
+        s = int(l_truth[i, 0])
+        e = min(G, s + len(t) + 200)
+        win = np.unique(_kmers_u64(genome[max(0, s - 200) : e], k,
+                                   canonical=True))
+        ck = _kmers_u64(t, k, canonical=True)
+        if ck.size == 0 or win.size == 0:
+            continue
+        pos = np.clip(np.searchsorted(win, ck), 0, win.size - 1)
+        ident = float((win[pos] == ck).mean())
+        in_rep = any(c.start < s + len(t) and c.end > s for c in annot)
+        (vals_rep if in_rep else vals_uni).append(ident)
+    q = lambda v: (round(float(np.median(v)), 5),
+                   round(float(np.percentile(v, 10)), 5),
+                   len(v)) if v else (0, 0, 0)
+    return dict(repeat_reads=q(vals_rep), unique_reads=q(vals_uni))
 
 
 if __name__ == "__main__":

@@ -25,9 +25,11 @@ def main():
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     repeats = "--repeats" in sys.argv
+    circular = "--circular" in sys.argv
     gmb = float(args[0]) if len(args) > 0 else 4.6
     outdir = args[1] if len(args) > 1 else (
-        f"/tmp/scale_{gmb}mb" + ("_rep" if repeats else ""))
+        f"/tmp/scale_{gmb}mb" + ("_rep" if repeats else "")
+        + ("_circ" if circular else ""))
     G = int(gmb * 1_000_000)
 
     from hga_tpu.config import AssemblerConfig
@@ -42,13 +44,18 @@ def main():
     t0 = time.perf_counter()
     genome = (sim.repeat_genome(G, seed=42) if repeats
               else sim.random_genome(G, seed=42))
+    # --circular: E. coli's chromosome is a circle (SURVEY.md Appendix A);
+    # origin-spanning reads close the string graph into a cycle and the
+    # assembler emits one *_circular contig (models/assembly.py)
     ss, sn = sim.simulate_short_reads(genome, coverage=30.0, read_len=100,
-                                      error_rate=0.01, seed=43)
+                                      error_rate=0.01, seed=43,
+                                      circular=circular)
     ls, ln = sim.simulate_long_reads(genome, coverage=20.0, mean_len=8000,
-                                     min_len=1000, error_rate=0.10, seed=44)
+                                     min_len=1000, error_rate=0.10, seed=44,
+                                     circular=circular)
     t_sim = time.perf_counter() - t0
     print(f"sim: {len(ss)} short + {len(ls)} long reads in {t_sim:.0f}s "
-          f"(repeats={repeats})", flush=True)
+          f"(repeats={repeats}, circular={circular})", flush=True)
 
     t0 = time.perf_counter()
     pr_s = pack_reads(ss, names=sn, pad_len=112)
@@ -72,7 +79,9 @@ def main():
     t_pipe = time.perf_counter() - t0
 
     total_reads = pr_s.n_reads + pr_l.n_reads
-    ev = evaluate_contigs(res.polished, genome, k=21)
+    ev = evaluate_contigs(res.polished, genome, k=21, circular=circular)
+    ev["circular_contigs"] = sum(
+        1 for n, _ in res.polished if n.endswith("_circular"))
     # Per-stage splits come from the pipeline stats captured AT each stage
     # (round-4 verdict weak items 1-2: a post-hoc read of the module-level
     # LAST_TIMINGS reports whatever stage ran LAST — the published
@@ -86,7 +95,8 @@ def main():
     # seconds (>=70% accounted; the remainder is untimed glue)
     recon = {}
     for name, split, keys in (
-            ("corrected", corr_split, ("cand_s", "loop_s")),
+            ("corrected", corr_split,
+             ("index_s", "gcand_s", "cand_s", "loop_s")),
             ("polish", pol_split, ("cand_s", "loop_s")),
             ("overlaps", ov_split,
              ("index_s", "anchor_s", "chain_s", "segprep_s", "dp_s"))):
@@ -97,7 +107,7 @@ def main():
             if acc > 0 and not (0.5 * acc <= stages[name]["seconds"] * 1.05):
                 print(f"WARNING: {name} split {acc:.0f}s does not reconcile "
                       f"with stage {stages[name]['seconds']:.0f}s", flush=True)
-    out = dict(genome_mb=gmb, repeats=repeats,
+    out = dict(genome_mb=gmb, repeats=repeats, circular=circular,
                n_short=pr_s.n_reads, n_long=pr_l.n_reads,
                pipeline_seconds=round(t_pipe, 1),
                reads_per_s=round(total_reads / t_pipe, 1),

@@ -65,6 +65,16 @@ class AssemblerConfig:
     # — repeat-free runs are unimodal and get no floor.  0 = off; > 0 =
     # explicit floor.
     graph_min_identity: float = -1.0
+    # Best-overlap branch pruning (models/assembly.prune_branch_edges): at
+    # a branching node, drop out-edges whose overlap identity trails the
+    # best branch by more than this margin (repeat copies diverge >= ~2x
+    # (1 - family identity) >= 0.02; identity noise on a multi-kb overlap
+    # is ~0.0015, so a trailing same-copy edge is never dropped in favor
+    # of a cross-copy one).  Applies only to multi-kb corrected-read
+    # overlaps; 0 = off.  Measured (1.5 Mb repeat model): 13 contigs ->
+    # 1 contig at N50 1.50 Mb with margins 0.004-0.008; 0.008 is the
+    # safer (less aggressive) end.
+    graph_branch_margin: float = 0.008
     tip_max_len: int = 3           # tip clipping: max nodes in a clipped tip
     end_tol: int = 3               # bp floor when classifying dovetails
     # Length-aware end tolerance: an overlap's alignment may stop short of

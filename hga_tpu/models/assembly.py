@@ -43,6 +43,10 @@ class StringGraph:
     ext: np.ndarray      # int32 — bases the target adds beyond the overlap
     score: np.ndarray    # int32 — overlap score
     contained: np.ndarray  # bool (n_reads,)
+    # per-edge alignment identity of the source overlap (branch pruning);
+    # 1.0 when the overlap records carry no dist
+    ident: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.float64))
 
     @property
     def n_nodes(self) -> int:
@@ -161,6 +165,7 @@ def build_string_graph(ov: OverlapRecords, n_reads: int,
     bs_o = np.where(rel == 1, lb - ov.b_end, ov.b_start)
     be_o = np.where(rel == 1, lb - ov.b_start, ov.b_end)
 
+    ident_all = ov.identity() if ov.dist is not None else np.ones(ov.n)
     contained_a = (as_ <= ha) & (ae >= la - ha)
     contained_b = (bs_o <= hb) & (be_o >= lb - hb)
     contained = np.zeros(n_reads, bool)
@@ -174,7 +179,7 @@ def build_string_graph(ov: OverlapRecords, n_reads: int,
     dove_ab = ok & (ae >= la - ha) & (bs_o <= hb)
     dove_ba = ok & (be_o >= lb - hb) & (as_ <= ha) & ~dove_ab
 
-    us, vs, exts, scs = [], [], [], []
+    us, vs, exts, scs, ids = [], [], [], [], []
     # suffix(a) ~ prefix(b^rel):  a+ -> b^rel   and   b^(1-rel) -> a-
     # diagonal continuation: the unaligned a-suffix (la - ae) corresponds to
     # b bases be_o..be_o+(la-ae), so b only adds lb - be_o - (la - ae).
@@ -190,10 +195,12 @@ def build_string_graph(ov: OverlapRecords, n_reads: int,
     vs.append(2 * b[i] + rel[i])
     exts.append(e1)
     scs.append(ov.score[i])
+    ids.append(ident_all[i])
     us.append(2 * b[i] + (1 - rel[i]))
     vs.append(2 * a[i] + 1)
     exts.append(e2)
     scs.append(ov.score[i])
+    ids.append(ident_all[i])
     # suffix(b^rel) ~ prefix(a):  b^rel -> a+   and   a- -> b^(1-rel)
     i = np.nonzero(dove_ba)[0]
     e1 = la[i] - ae[i] - (lb[i] - be_o[i])
@@ -205,23 +212,26 @@ def build_string_graph(ov: OverlapRecords, n_reads: int,
     vs.append(2 * a[i])
     exts.append(e1)
     scs.append(ov.score[i])
+    ids.append(ident_all[i])
     us.append(2 * a[i] + 1)
     vs.append(2 * b[i] + (1 - rel[i]))
     exts.append(e2)
     scs.append(ov.score[i])
+    ids.append(ident_all[i])
 
     u = np.concatenate(us).astype(np.int32) if us else np.zeros(0, np.int32)
     v = np.concatenate(vs).astype(np.int32) if vs else np.zeros(0, np.int32)
     ext = np.concatenate(exts).astype(np.int32) if exts else np.zeros(0, np.int32)
     sc = np.concatenate(scs).astype(np.int32) if scs else np.zeros(0, np.int32)
+    idn = np.concatenate(ids) if ids else np.zeros(0, np.float64)
 
     # dedupe (u, v) keeping the smallest extension (tightest overlap)
     order = np.lexsort((ext, v, u))
-    u, v, ext, sc = u[order], v[order], ext[order], sc[order]
+    u, v, ext, sc, idn = u[order], v[order], ext[order], sc[order], idn[order]
     first = np.ones(len(u), bool)
     first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
     g = StringGraph(n_reads=n_reads, u=u[first], v=v[first], ext=ext[first],
-                    score=sc[first], contained=contained)
+                    score=sc[first], contained=contained, ident=idn[first])
     log.info("graph: %d edges (%d contained reads)", g.u.size,
              int(contained.sum()))
     return g
@@ -287,6 +297,48 @@ def reduce_graph(g: StringGraph, cfg: AssemblerConfig,
 def _complement_edge(u: int, v: int) -> Tuple[int, int]:
     """String-graph symmetry: edge u->v pairs with comp(v)->comp(u)."""
     return (v ^ 1, u ^ 1)
+
+
+def prune_branch_edges(
+    edges: List[Tuple[int, int]],
+    ident_of: Dict[Tuple[int, int], float],
+    margin: float,
+) -> List[Tuple[int, int]]:
+    """Best-overlap branch pruning (the Celera/miniasm 'best overlap graph'
+    heuristic, identity-margin gated): at every node with multiple
+    out-edges, drop the branches whose overlap identity trails the best
+    branch by more than `margin` — together with their complements, so the
+    doubled graph stays symmetric (in-branches are covered by the
+    complement node's out-branches).
+
+    This is the LOCAL repeat separator the global identity floor cannot
+    be: at a repeat boundary the same-copy continuation aligns at the
+    corrected-read identity (~0.997+) while a cross-copy continuation
+    carries the family divergence (>= ~2x(1-family identity), >= 0.02 for
+    a 99% family) — far beyond identity noise on a multi-kb overlap
+    (sigma ~ 0.0015).  Genuinely ambiguous branches (identities within the
+    margin — exact repeats) are all kept and still break the unitig, so
+    this never fabricates a join; it only removes edges that would fuse
+    different repeat copies into one walk.
+    """
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for u, v in edges:
+        out[u].append(v)
+    drop = set()
+    for u, vs in out.items():
+        if len(vs) < 2:
+            continue
+        best = max(ident_of[(u, v)] for v in vs)
+        for v in vs:
+            if ident_of[(u, v)] < best - margin:
+                drop.add((u, v))
+                drop.add(_complement_edge(u, v))
+    if drop:
+        log.info("branch pruning: dropped %d/%d edges (margin %.4f)",
+                 len(drop), len(edges), margin)
+    return [e for e in edges if e not in drop]
 
 
 def clean_graph(
@@ -474,6 +526,14 @@ def assemble(pr: PackedReads, ov: OverlapRecords,
     }
     score_of = {(int(u), int(v)): int(s)
                 for u, v, s, k in zip(g.u, g.v, g.score, keep) if k}
+    if (cfg.graph_branch_margin > 0 and ov.dist is not None and ov.n
+            and float(np.median(np.maximum(ov.a_end - ov.a_start,
+                                           ov.b_end - ov.b_start))) >= 1000):
+        # multi-kb corrected overlaps only: short-read identities are
+        # quantized (1 edit ~ 0.0125) and would false-trigger the margin
+        ident_of = {(int(u), int(v)): float(i)
+                    for u, v, i, k in zip(g.u, g.v, g.ident, keep) if k}
+        edges = prune_branch_edges(edges, ident_of, cfg.graph_branch_margin)
     edges = clean_graph(g.n_nodes, edges, score_of,
                         tip_max_len=cfg.tip_max_len)
     paths = unitigs_from_edges(g.n_nodes, edges)

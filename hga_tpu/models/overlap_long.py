@@ -256,9 +256,11 @@ def find_candidates_cross_indexed(
         gdiag = diag[med][keep]
         gcnt = g_len[keep]
         ganch = None
+        rare_cnt = None
         if rare is not None:
-            ganch = np.add.reduceat(
-                rare[order].astype(np.int64), g_first)[keep] > 0
+            rare_cnt = np.add.reduceat(
+                rare[order].astype(np.int64), g_first)[keep]
+            ganch = rare_cnt > 0
         if (depth_cap > 0 or ganch is not None) and ga.size:
             # backbone position the read lands on (the same frame algebra
             # consensus_backbones uses for its window offset)
@@ -279,6 +281,7 @@ def find_candidates_cross_indexed(
             rank = np.arange(o2.shape[0]) - np.repeat(first, seg_len)
             keep_sel = (rank < depth_cap if depth_cap > 0
                         else np.ones(o2.shape[0], bool))
+            A_g = None
             if ganch is not None:
                 # per-bucket anchored count; ambiguous candidates survive
                 # only in buckets without anchored depth (see docstring)
@@ -287,7 +290,15 @@ def find_candidates_cross_indexed(
                 amb_drop = ~ganch[o2] & (A >= anchor_min)
                 n_amb_dropped += int((keep_sel & amb_drop).sum())
                 keep_sel &= ~amb_drop
+                A_g = np.empty(o2.shape[0], np.int64)
+                A_g[o2] = A
             sel = o2[keep_sel]
+            if _CAND_DEBUG is not None and rare_cnt is not None:
+                mc = np.minimum.reduceat(comb[m][eidx][order], g_first)[keep]
+                _CAND_DEBUG.setdefault("rare_cnt", []).append(rare_cnt[sel])
+                _CAND_DEBUG.setdefault("A", []).append(A_g[sel])
+                _CAND_DEBUG.setdefault("cnt", []).append(gcnt[sel])
+                _CAND_DEBUG.setdefault("min_comb", []).append(mc[sel])
             ga, gb, grel, gdiag = ga[sel], gb[sel], grel[sel], gdiag[sel]
         outs_a.append(ga)
         outs_b.append(gb)
@@ -443,6 +454,11 @@ REP_DIAG_TOL_MIN = 256    # ... floored (bases)
 # test hook: force host-side window materialization (the oracle path the
 # device prep is asserted byte-identical against)
 _FORCE_HOST_PREP = False
+
+# diagnostics hook: when set to a dict, find_candidates_cross_indexed
+# appends per-KEPT-candidate stats (rare_cnt, bucket anchored count A,
+# shared count, min combined seed freq) under these keys
+_CAND_DEBUG: Optional[dict] = None
 
 # one-slot device cache for the (large, call-invariant) packed long-read
 # plane: segment batches gather their DP windows on device from it, so a

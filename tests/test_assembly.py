@@ -205,3 +205,19 @@ def test_auto_identity_floor_raw_reads_off():
     rng = np.random.default_rng(2)
     raw = np.clip(rng.normal(0.82, 0.03, 5000), 0.0, 1.0)
     assert derive_graph_identity_floor(_ident_records(raw)) == 0.0
+
+
+def test_branch_pruning_drops_trailing_branch():
+    from hga_tpu.models.assembly import prune_branch_edges
+
+    # node 0 branches to 2 (ident .998) and 4 (ident .985): the trailing
+    # branch and its complement are dropped; ties within margin are kept
+    edges = [(0, 2), (0, 4), (5, 1), (3, 1)]
+    ident = {(0, 2): 0.998, (0, 4): 0.985, (5, 1): 0.985, (3, 1): 0.998}
+    out = prune_branch_edges(edges, ident, margin=0.008)
+    assert (0, 2) in out and (3, 1) in out
+    assert (0, 4) not in out and (5, 1) not in out
+
+    # identities within the margin: genuinely ambiguous, everything stays
+    ident2 = {(0, 2): 0.998, (0, 4): 0.995, (5, 1): 0.995, (3, 1): 0.998}
+    assert prune_branch_edges(edges, ident2, margin=0.008) == edges
