@@ -70,9 +70,14 @@ def main():
     # error rates.  The judged k=21 spectrum remains `hga count`'s default.
     # corr_depth_cap stays 0: the driver derives ~0.7x base coverage from
     # the spectrum peak (round-3 verdict item 6).
+    corr_passes = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--corr-passes="):
+            corr_passes = int(a.split("=")[1])
     cfg = AssemblerConfig(k=15, w=5, band=64, batch_reads=4096,
                           min_shared_minimizers=2, min_overlap_len=500,
                           min_identity=0.75, polish_passes=2,
+                          corr_passes=corr_passes,
                           corr_batch_pairs=4096, min_contig_len=2000)
     t0 = time.perf_counter()
     res = run_pipeline(pr_s, pr_l, cfg, outdir, resume=True)
