@@ -832,6 +832,25 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes, read_len, cfg,
     q_of_pair = rq[g_first]
     t_of_pair = rt[g_first]
 
+    # Bounded in-flight queue: JAX dispatch is async, so deferring the
+    # np.asarray readback by a few batches overlaps the tunnel round-trip
+    # (dispatch latency + ~32 KB result readback) of batch i with the
+    # device compute of batches i+1..i+depth — the loop was previously
+    # fully synchronous and the per-batch round-trip, not DP cells, set
+    # the stage's floor (ROADMAP "the overlap stage's floor").
+    pending: list = []
+
+    def _drain_one(tm):
+        (p_, r_, hb_, tb_, t_or0_, twin_, nbv_) = pending.pop(0)
+        t_d0 = time.perf_counter()
+        dist = np.asarray(r_.dist).astype(np.int64)[:nbv_]
+        tend = np.asarray(r_.tend).astype(np.int64)[:nbv_]
+        tm["dp_s"] = tm.get("dp_s", 0.0) + time.perf_counter() - t_d0
+        np.add.at(dist_sum, p_, dist)
+        t_end[p_[tb_]] = t_or0_[:nbv_][tb_] + tend[tb_]
+        t_begin[p_[hb_]] = (t_or0_[:nbv_][hb_] + twin_[:nbv_][hb_]) - tend[hb_]
+
+    INFLIGHT = 8
     Lpad = codes.shape[1] if codes is not None else 0
     for s in range(0, n_seg, seg_batch):
         t_w0 = time.perf_counter()
@@ -868,15 +887,11 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes, read_len, cfg,
                                   i32(relv), i32(q0v), i32(seglen),
                                   i32(t0v), i32(kindv), wwords)
             r = edit(qwin_d, t_or_d, i32(seglen), i32(twin_len))
-            dist = np.asarray(r.dist).astype(np.int64)[:nbv]
-            tend = np.asarray(r.tend).astype(np.int64)[:nbv]
             tm["dp_s"] = tm.get("dp_s", 0.0) + time.perf_counter() - t_dp0
-            pb = p
-            np.add.at(dist_sum, pb, dist)
-            hb = head[:nbv]
-            tb = kindv[:nbv] == 2
-            t_end[pb[tb]] = (t_or0[:nbv][tb]) + tend[tb]
-            t_begin[pb[hb]] = (t_or0[:nbv][hb] + twin_len[:nbv][hb]) - tend[hb]
+            pending.append((p, r, head[:nbv], kindv[:nbv] == 2,
+                            t_or0, twin_len, nbv))
+            if len(pending) >= INFLIGHT:
+                _drain_one(tm)
             continue
 
         # query window [q0, q1)
@@ -901,18 +916,17 @@ def _align_chains(rq, rt, rrel, rpq, rpt, rgid, rcnt, codes, read_len, cfg,
                  jnp.asarray(t_or.astype(np.int8)),
                  jnp.asarray(seglen.astype(np.int32)),
                  jnp.asarray(twin_len.astype(np.int32)))
-        dist = np.asarray(r.dist).astype(np.int64)[:nbv]
-        tend = np.asarray(r.tend).astype(np.int64)[:nbv]
         tm["dp_s"] = tm.get("dp_s", 0.0) + time.perf_counter() - t_dp0
+        # same bounded-in-flight readback deferral as the dev-prep path
+        # (tend-1 is the last aligned window column for forward tails; a
+        # reversed head's window col x maps to t_or0 + twin_len - 1 - x)
+        pending.append((p, r, head[:nbv], kindv[:nbv] == 2,
+                        t_or0, twin_len, nbv))
+        if len(pending) >= INFLIGHT:
+            _drain_one(tm)
 
-        pb = p
-        np.add.at(dist_sum, pb, dist)
-        hb = head[:nbv]
-        tb = kindv[:nbv] == 2
-        # forward tail: window position tend-1 is the last aligned column
-        t_end[pb[tb]] = (t_or0[:nbv][tb]) + tend[tb]
-        # reversed head: window col x maps to t_or0 + twin_len - 1 - x
-        t_begin[pb[hb]] = (t_or0[:nbv][hb] + twin_len[:nbv][hb]) - tend[hb]
+    while pending:
+        _drain_one(tm)
 
     identity_den = np.maximum(qe - qs, 1)
     max_ed = np.floor((1.0 - cfg.min_identity) * identity_den).astype(np.int64)
