@@ -142,6 +142,20 @@ class AssemblerConfig:
     # meaning "~this many confident reads" either way.  Requires
     # corr_engine="myers" (the production engine; validated at construction).
     use_quality: bool = False
+    # Copy ARBITRATION (repeat resolution, models/arbitration.py): after
+    # assembly and before polish, raw long reads — placed by their unique
+    # flanking anchors — vote on the contigs, snapping family-averaged
+    # repeat loci ("wrong islands", where short-read pileups cannot anchor
+    # because the averaged backbone destroyed the rare seeds) back to the
+    # true copy; polish then re-anchors there and locks the result.  Off
+    # only for debugging: the pass is a no-op on repeat-free genomes
+    # (votes agree with the backbone everywhere).
+    arbitrate: bool = True
+    # Depth floor for arbitration columns: with ~10%-error raw-long votes
+    # a column needs this many covering chunks before argmax may override
+    # the backbone (unique columns vote ~90% backbone anyway; the floor
+    # guards low-coverage noise).
+    arb_min_depth: int = 5
     # Correction passes: each pass can restore at most 3 consecutive
     # backbone-deleted bases (the pileup's insertion slots), so a >=4-base
     # nanopore deletion needs a second pass over the ONCE-corrected reads

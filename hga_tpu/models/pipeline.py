@@ -370,6 +370,27 @@ def run_pipeline(
             "identity_floor": res.identity_floor,
         }
 
+    # --- stage: arbitration (repeat resolution, models/arbitration.py) ---
+    # raw long reads, placed by their unique flanking anchors, vote on the
+    # contigs to snap family-averaged repeat loci to the true copy BEFORE
+    # short-read polish re-anchors and locks them (round-4 verdict item 1)
+    if cfg.arbitrate and pr_long is not None and contigs:
+        from hga_tpu.models import arbitration as ARB
+
+        if st.fresh("arbitrate", inputs) and os.path.exists(
+                path("arbitrated.fasta")):
+            from hga_tpu.io.fastq import iter_records
+
+            contigs = [(r.name, r.seq)
+                       for r in iter_records(path("arbitrated.fasta"))]
+        else:
+            t0 = time.perf_counter()
+            contigs = ARB.arbitrate_contigs(contigs, pr_long, cfg, mesh=mesh)
+            if main:
+                write_fasta(path("arbitrated.fasta"), contigs)
+            st.done("arbitrate", t0, inputs)
+            st.stats["arbitrate_detail"] = dict(ARB.LAST_TIMINGS)
+
     # --- stage: polish (config 5b) ---
     polished = contigs
     if pr_short is not None and contigs:
