@@ -592,6 +592,11 @@ def consensus_backbones(
     t_drain0 = _time.perf_counter()
     merged.block_until_ready()
     t_drain = _time.perf_counter() - t_drain0
+    # fresh dict per call: stale keys from a PREVIOUS stage (correction's
+    # index_s/gcand_s) must not leak into this stage's published split —
+    # polish_detail showed 2x correction's index time before this clear
+    # (the round-4 "split reports a different stage" class of bug)
+    LAST_TIMINGS.clear()
     LAST_TIMINGS.update(
         cand_s=round(t_cand, 3), n_pairs=len(a),
         n_batches=-(-len(a) // batch_pairs) if len(a) else 0,
