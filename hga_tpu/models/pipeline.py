@@ -271,6 +271,24 @@ def run_pipeline(
     if cfg_corr is None:
         cfg_corr = cfg
 
+    # ONE short-read seed index shared by correction passes AND polish
+    # passes: each used to rebuild the ~33M-entry sorted index (sort +
+    # solid mask over the full short-read plane, ~100-200 s at judged
+    # scale) per pass.  Built lazily inside whichever stage needs it
+    # first, so a resumed run that skips correction pays only once.
+    _sidx: Dict = {}
+
+    def short_seed_index():
+        if pr_short is None:
+            return None
+        if "v" not in _sidx:
+            from hga_tpu.models.overlap_long import build_seed_index
+
+            t_i0 = time.perf_counter()
+            _sidx["v"] = build_seed_index(pr_short, cfg, solid=solid)
+            st.stats["seed_index_s"] = round(time.perf_counter() - t_i0, 3)
+        return _sidx["v"]
+
     # --- stage: correction (config 5a) ---
     asm_reads = pr_short
     if pr_long is not None:
@@ -279,8 +297,9 @@ def run_pipeline(
         else:
             t0 = time.perf_counter()
             if pr_short is not None:
-                asm_reads = correct_long_reads(pr_short, pr_long, cfg_corr,
-                                               mesh=mesh, solid=solid)
+                asm_reads = correct_long_reads(
+                    pr_short, pr_long, cfg_corr, mesh=mesh, solid=solid,
+                    seed_index=short_seed_index())
             else:
                 asm_reads = pr_long
             if main:
@@ -401,7 +420,9 @@ def run_pipeline(
         for p in range(max(1, cfg.polish_passes)):
             if p:
                 log.info("polish pass %d/%d", p + 1, cfg.polish_passes)
-            polished = polish_contigs(polished, pr_short, cfg, mesh=mesh)
+            polished = polish_contigs(polished, pr_short, cfg, mesh=mesh,
+                                      solid=solid,
+                                      seed_index=short_seed_index())
             for key, v in CT.items():  # sum the split across passes
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
                     pol_tot[key] = round(pol_tot.get(key, 0) + v, 3)
