@@ -214,7 +214,12 @@ def extract_seed_entries(pr: PackedReads, cfg: AssemblerConfig,
         rows = meta >> (pos_bits + 1)
         keep = rows < nb                  # padded rows produce no entries,
         # but guard anyway (their length is 0 so take is already False)
-        his.append(fetch(hi_c)[keep])
+        # a canonical k-mer is 2k bits: for k <= 16 the hi word is
+        # identically zero, so skipping its readback cuts a third of the
+        # extraction's tunnel bytes (the stage's floor is the ~3 MB/s
+        # readback, not device work)
+        his.append(np.zeros(int(keep.sum()), np.uint32) if cfg.k <= 16
+                   else fetch(hi_c)[keep])
         los.append(fetch(lo_c)[keep])
         poss.append((meta & ((1 << pos_bits) - 1))[keep])
         strands.append(((meta >> pos_bits) & 1)[keep].astype(np.int32))
