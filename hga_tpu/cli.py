@@ -56,6 +56,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "reads' FASTQ quality plane and weigh each pileup "
                         "vote by its base's phred tier (requires FASTQ "
                         "input and corr-engine myers)")
+    p.add_argument("--no-arbitrate", action="store_true", default=None,
+                   help="disable the copy-arbitration stage (raw long "
+                        "reads voting family-averaged repeat loci back to "
+                        "the true copy; on by default)")
+    p.add_argument("--arb-min-depth", type=int, default=None,
+                   help="depth floor for arbitration columns (default 5)")
     p.add_argument("--config", help="JSON config file (overridden by flags)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile", metavar="DIR",
@@ -80,10 +86,13 @@ def _build_cfg(args) -> AssemblerConfig:
                         ("corr_passes", "corr_passes"),
                         ("polish_passes", "polish_passes"),
                         ("graph_min_identity", "graph_min_identity"),
-                        ("use_quality", "use_quality")]:
+                        ("use_quality", "use_quality"),
+                        ("arb_min_depth", "arb_min_depth")]:
         v = getattr(args, flag, None)
         if v is not None:
             overrides[field] = v
+    if getattr(args, "no_arbitrate", None):
+        overrides["arbitrate"] = False
     return cfg.replace(**overrides) if overrides else cfg
 
 
