@@ -94,15 +94,21 @@ def main():
     stages = res.stats["stages"]
     corr_split = res.stats.get("correction_detail", {})
     pol_split = res.stats.get("polish_detail", {})
+    arb_split = res.stats.get("arbitrate_detail", {})
     ov_split = {k: v for k, v in res.stats.get("overlaps", {}).items()
                 if k != "n"}
+    # the shared short-read seed index is built lazily inside whichever
+    # stage first needs it (usually correction) — account it there
+    corr_split = dict(corr_split,
+                      shared_index_s=res.stats.get("seed_index_s", 0))
     # reconciliation: each stage's split components must sum to ~the stage
     # seconds (>=70% accounted; the remainder is untimed glue)
     recon = {}
     for name, split, keys in (
             ("corrected", corr_split,
-             ("index_s", "gcand_s", "cand_s", "loop_s")),
+             ("index_s", "gcand_s", "cand_s", "loop_s", "shared_index_s")),
             ("polish", pol_split, ("cand_s", "loop_s")),
+            ("arbitrate", arb_split, ("place_s", "mat_s", "vote_s")),
             ("overlaps", ov_split,
              ("index_s", "anchor_s", "chain_s", "segprep_s", "dp_s"))):
         if name in stages and split:
@@ -119,6 +125,7 @@ def main():
                stages=stages, eval=ev,
                correction_split=corr_split,
                polish_split=pol_split,
+               arbitrate_split=arb_split,
                overlap_split=ov_split,
                split_reconciliation=recon,
                assembly=res.stats.get("assembly", {}),
