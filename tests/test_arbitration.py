@@ -126,3 +126,28 @@ def test_arbitration_empty_inputs():
     empty = pack_reads([], pad_len=64)
     cs = [("c", "ACGT" * 100)]
     assert arbitrate_contigs(cs, empty, cfg) == cs
+
+
+def test_pipeline_publishes_arbitrate_stage(tmp_path, rng):
+    """run_pipeline runs arbitration between assembly and polish and
+    publishes its stage seconds + split (place/mat/vote) in the stats —
+    the same observability contract the overlap/correction splits keep."""
+    from hga_tpu.models.pipeline import run_pipeline
+    from hga_tpu.utils import sim
+
+    ds = sim.make_dataset(genome_len=15_000, short_cov=20, long_cov=10,
+                          seed=21, short_err=0.005, long_err=0.08)
+    pr_s = pack_reads(ds.short_seqs, names=ds.short_names, pad_len=112)
+    pad = ((max(len(s) for s in ds.long_seqs) + 15) // 16) * 16
+    pr_l = pack_reads(ds.long_seqs, names=ds.long_names,
+                      category=[1] * len(ds.long_seqs), pad_len=pad)
+    cfg = AssemblerConfig(k=15, w=5, band=48, batch_reads=512,
+                          min_shared_minimizers=2, min_overlap_len=300)
+    res = run_pipeline(pr_s, pr_l, cfg, str(tmp_path))
+    assert "arbitrate" in res.stats["stages"]
+    det = res.stats["arbitrate_detail"]
+    assert {"place_s", "mat_s", "vote_s", "n_chunks"} <= set(det)
+    # and the off switch removes the stage
+    res2 = run_pipeline(pr_s, pr_l, cfg.replace(arbitrate=False),
+                        str(tmp_path / "off"))
+    assert "arbitrate" not in res2.stats["stages"]
